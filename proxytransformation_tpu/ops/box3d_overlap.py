@@ -1,0 +1,140 @@
+"""Exact IoU of oriented 9-DoF 3D boxes, TPU-native.
+
+Replaces pytorch3d's C++/CUDA `_C.iou_box3d` (reference:
+embodiedscan/structures/bbox_3d/custom_box3d_overlap.py:94-166, consumed
+by the eval metric at eval/metrics/grounding_metric.py:109 and the
+matching cost at models/losses/match_cost.py:102-113).
+
+TPU-first design — branch-free vertex enumeration instead of the
+reference's sequential polyhedron clipping:
+  * each box is 6 half-spaces (unit outward normals);
+  * the intersection polytope is {x : A x <= b} with the stacked 12 rows;
+  * every vertex of the polytope is the intersection of 3 of the 12
+    planes → enumerate all C(12,3)=220 triples with Cramer's rule and
+    keep the feasible ones (a fixed-size mask, no data-dependent shapes);
+  * volume via the divergence theorem: V = (1/3) Σ_faces b_i · Area_i,
+    where each face polygon is the feasible vertices on plane i sorted
+    by angle (convexity makes angular sort correct).
+Everything is fixed-shape vector math, so it vmaps over (N, M) pairs
+and fuses on the VPU/MXU. fp32 throughout (as the reference forces).
+"""
+from __future__ import annotations
+
+from functools import partial
+from itertools import combinations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..structures.rotation import euler_angles_to_matrix
+
+_TRIPLES = np.array(list(combinations(range(12), 3)), dtype=np.int32)  # (220,3)
+
+
+def box_planes(bbox: jnp.ndarray):
+    """(..., 9) box → (..., 6, 3) unit outward normals, (..., 6) offsets."""
+    center = bbox[..., :3]
+    half = bbox[..., 3:6] / 2.0
+    rot = euler_angles_to_matrix(bbox[..., 6:9], 'ZXY')  # columns = box axes
+    axes = jnp.swapaxes(rot, -2, -1)  # (..., 3axes, 3)
+    normals = jnp.concatenate([axes, -axes], axis=-2)  # (..., 6, 3)
+    half2 = jnp.concatenate([half, half], axis=-1)  # (..., 6)
+    offsets = jnp.sum(normals * center[..., None, :], axis=-1) + half2
+    return normals, offsets
+
+
+def _pair_intersection_volume(box1: jnp.ndarray, box2: jnp.ndarray,
+                              eps: float) -> jnp.ndarray:
+    """Intersection volume of two (9,) boxes. Returns a scalar."""
+    n1, b1 = box_planes(box1)
+    n2, b2 = box_planes(box2)
+    A = jnp.concatenate([n1, n2], axis=0)  # (12, 3)
+    b = jnp.concatenate([b1, b2], axis=0)  # (12,)
+
+    scale = jnp.maximum(jnp.max(jnp.abs(b)), 1.0)
+    feas_eps = eps * scale
+
+    tri = jnp.asarray(_TRIPLES)
+    a0, a1, a2 = A[tri[:, 0]], A[tri[:, 1]], A[tri[:, 2]]  # (220, 3)
+    c12 = jnp.cross(a1, a2)
+    det = jnp.sum(a0 * c12, axis=-1)  # (220,)
+    ok_det = jnp.abs(det) > 1e-7
+    safe_det = jnp.where(ok_det, det, 1.0)
+    bb0, bb1, bb2 = b[tri[:, 0]], b[tri[:, 1]], b[tri[:, 2]]
+    verts = (bb0[:, None] * c12 + bb1[:, None] * jnp.cross(a2, a0)
+             + bb2[:, None] * jnp.cross(a0, a1)) / safe_det[:, None]
+    verts = jnp.where(ok_det[:, None], verts, 0.0)
+
+    # feasibility: A v <= b (+tolerance) for all 12 planes
+    slack = jnp.matmul(verts, A.T, precision='highest') - b[None, :]  # (220, 12)
+    feasible = ok_det & jnp.all(slack <= feas_eps, axis=-1)
+    verts = jnp.where(feasible[:, None], verts, 0.0)
+
+    # per-plane face polygons
+    on_plane = feasible[None, :] & (
+        jnp.abs(jnp.matmul(verts, A.T, precision='highest')
+                - b[None, :]).T <= feas_eps)  # (12, 220)
+
+    # orthonormal in-plane basis for each of the 12 planes
+    n = A  # (12, 3) unit normals
+    alt = jnp.where(
+        jnp.abs(n[:, :1]) < 0.9,
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), n.shape),
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), n.shape))
+    u = jnp.cross(n, alt)
+    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    w = jnp.cross(n, u)  # (12, 3)
+
+    m = on_plane.astype(jnp.float32)  # (12, 220)
+    cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    ctr = jnp.matmul(m, verts, precision='highest') / cnt  # (12, 3)
+    rel = verts[None, :, :] - ctr[:, None, :]  # (12, 220, 3)
+    pu = jnp.sum(rel * u[:, None, :], axis=-1)  # (12, 220)
+    pw = jnp.sum(rel * w[:, None, :], axis=-1)
+    ang = jnp.where(on_plane, jnp.arctan2(pw, pu), 1e9)
+    order = jnp.argsort(ang, axis=1)  # (12, 220)
+    pu_s = jnp.take_along_axis(pu, order, axis=1)
+    pw_s = jnp.take_along_axis(pw, order, axis=1)
+    msk_s = jnp.take_along_axis(on_plane, order, axis=1)
+    # fill masked slots with the first (min-angle) vertex so the shoelace
+    # wrap-around edge closes the polygon and fillers contribute 0 area
+    pu_f = jnp.where(msk_s, pu_s, pu_s[:, :1])
+    pw_f = jnp.where(msk_s, pw_s, pw_s[:, :1])
+    cross = pu_f * jnp.roll(pw_f, -1, axis=1) - pw_f * jnp.roll(pu_f, -1, axis=1)
+    area = 0.5 * jnp.abs(jnp.sum(cross, axis=1))  # (12,)
+
+    # de-duplicate coincident planes (e.g. identical boxes or shared
+    # faces), otherwise the shared face would be double counted
+    same_n = jnp.matmul(n, n.T, precision='highest') > 1.0 - 1e-6
+    same_b = jnp.abs(b[:, None] - b[None, :]) <= feas_eps
+    coincident = same_n & same_b  # (12, 12), includes the diagonal
+    is_dup = jnp.any(
+        coincident & (jnp.arange(12)[None, :] < jnp.arange(12)[:, None]),
+        axis=1)
+
+    # divergence theorem with F = x/3; n is outward and unit, so the
+    # integrand x·n == b_i on face i.
+    vol = jnp.sum(jnp.where(is_dup, 0.0, b * area)) / 3.0
+    return jnp.maximum(vol, 0.0)
+
+
+@partial(jax.jit, static_argnames=())
+def box3d_intersection_volume(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+                              eps: float = 1e-4) -> jnp.ndarray:
+    """Pairwise intersection volumes: (N, 9) × (M, 9) → (N, M)."""
+    fn = lambda b1, b2: _pair_intersection_volume(b1, b2, eps)
+    return jax.vmap(lambda b1: jax.vmap(lambda b2: fn(b1, b2))(boxes2))(
+        boxes1)
+
+
+def box3d_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+              eps: float = 1e-4) -> jnp.ndarray:
+    """Exact pairwise IoU of oriented boxes: (N, 9) × (M, 9) → (N, M)."""
+    boxes1 = boxes1.astype(jnp.float32)
+    boxes2 = boxes2.astype(jnp.float32)
+    inter = box3d_intersection_volume(boxes1, boxes2, eps)
+    v1 = jnp.prod(jnp.abs(boxes1[:, 3:6]), axis=-1)
+    v2 = jnp.prod(jnp.abs(boxes2[:, 3:6]), axis=-1)
+    union = v1[:, None] + v2[None, :] - inter
+    return jnp.clip(inter / jnp.maximum(union, 1e-8), 0.0, 1.0)
