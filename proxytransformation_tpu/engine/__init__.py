@@ -1,0 +1,5 @@
+from .train import (TrainState, build_optimizer, create_train_state,
+                    make_train_step, make_eval_step, build_lr_schedule)
+
+__all__ = ['TrainState', 'build_optimizer', 'create_train_state',
+           'make_train_step', 'make_eval_step', 'build_lr_schedule']

@@ -1,0 +1,4 @@
+from .grounding_metric import GroundingMetric, ground_eval
+from .indoor_eval import indoor_eval, IndoorDetMetric
+
+__all__ = ['GroundingMetric', 'ground_eval', 'indoor_eval', 'IndoorDetMetric']

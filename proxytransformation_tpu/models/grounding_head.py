@@ -1,0 +1,282 @@
+"""Grounding head: contrastive query-token classification + 9-DoF boxes.
+
+Re-design of the reference `GroundingHead` / `ContrastiveEmbed`
+(reference: models/dense_heads/grounding_head.py:22-849) with masked
+static shapes. Config parity with
+configs/grounding/proxy-tiblock33-gs12-wbias-ddr0.6-clip.py:72-99:
+shared prediction layers, log_scale='auto', learnable bias (-4.6),
+focal classification, decoupled 4-group corner-Chamfer bbox loss with
+weights [.2, .2, .2, .4], Hungarian costs focal(1.0)+L1(2.0)+IoU(2.0).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.hungarian import hungarian_assign_dp
+from ..structures.rotation import ortho_6d_to_matrix, matrix_to_euler_angles
+from ..utils.registry import MODELS
+from .losses import (binary_focal_cost, bbox_l1_cost, iou3d_cost,
+                     chamfer_corner_loss, sigmoid_focal_loss)
+
+_NEG_BIAS = float(-np.log((1 - 0.01) / 0.01))  # -4.595
+
+
+class ContrastiveEmbed(nn.Module):
+    """Query·text-token similarity logits (reference :22-99)."""
+    max_text_len: int = 256
+    log_scale: str = 'auto'
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, visual_feat, text_feat, text_token_mask,
+                 visual_feat_mask=None):
+        res = jnp.einsum('bqc,btc->bqt', visual_feat, text_feat)
+        if self.log_scale == 'auto':
+            res = res / jnp.sqrt(jnp.asarray(visual_feat.shape[-1],
+                                             res.dtype))
+        elif isinstance(self.log_scale, float):
+            ls = self.param('log_scale', nn.initializers.constant(
+                self.log_scale), (1, ))
+            res = res * jnp.exp(ls)
+        if self.bias:
+            b = self.param('bias_value',
+                           nn.initializers.constant(_NEG_BIAS), (1, ))
+            res = res + b
+        res = jnp.where(text_token_mask[:, None, :], res, -jnp.inf)
+        if visual_feat_mask is not None:
+            res = jnp.where(visual_feat_mask[:, :, None], res, -jnp.inf)
+        T = res.shape[-1]
+        if T < self.max_text_len:
+            pad = jnp.full(res.shape[:-1] + (self.max_text_len - T, ),
+                           -jnp.inf, res.dtype)
+            res = jnp.concatenate([res, pad], axis=-1)
+        return res
+
+
+class RegBranch(nn.Module):
+    """Linear-ReLU ×2 → Linear(9|12) (reference :196-224).
+
+    Final layer zero-init with size-channel bias -2.0 (:220-224)."""
+    embed_dims: int = 256
+    num_reg: int = 9
+    num_reg_fcs: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_reg_fcs):
+            x = nn.Dense(self.embed_dims, name=f'fc{i}')(x)
+            x = nn.relu(x)
+        bias_init = np.zeros(self.num_reg, np.float32)
+        bias_init[2:] = -2.0  # matches reference init (bias.data[2:] = -2)
+        x = nn.Dense(self.num_reg, kernel_init=nn.initializers.zeros,
+                     bias_init=lambda k, s, dtype=jnp.float32:
+                     jnp.asarray(bias_init, dtype), name='out')(x)
+        return x
+
+
+@MODELS.register_module()
+class GroundingHead(nn.Module):
+    num_classes: int = 256
+    embed_dims: int = 256
+    num_reg: int = 9
+    box_coder: str = 'baseline'
+    max_text_len: int = 256
+    log_scale: str = 'auto'
+    contrastive_bias: bool = True
+    sync_cls_avg_factor: bool = True
+    decouple_bbox_loss: bool = True
+    decouple_groups: int = 4
+    decouple_weights: Sequence[float] = (0.2, 0.2, 0.2, 0.4)
+    norm_decouple_loss: bool = False
+    share_pred_layer: bool = True
+    num_pred_layer: int = 7
+    loss_cls_weight: float = 1.0
+    loss_bbox_weight: float = 1.0
+    bbox_loss_mode: str = 'l1'
+    bbox_loss_group: str = 'g8'
+    cost_focal_weight: float = 1.0
+    cost_l1_weight: float = 2.0
+    cost_iou_weight: float = 2.0
+    bg_cls_weight: float = 0.0
+
+    def setup(self):
+        if self.share_pred_layer:
+            cls = ContrastiveEmbed(self.max_text_len, self.log_scale,
+                                   self.contrastive_bias, name='cls_branch')
+            reg = RegBranch(self.embed_dims, self.num_reg, name='reg_branch')
+            self.cls_branches = [cls] * self.num_pred_layer
+            self.reg_branches = [reg] * self.num_pred_layer
+        else:
+            self.cls_branches = [
+                ContrastiveEmbed(self.max_text_len, self.log_scale,
+                                 self.contrastive_bias, name=f'cls_{i}')
+                for i in range(self.num_pred_layer)
+            ]
+            self.reg_branches = [
+                RegBranch(self.embed_dims, self.num_reg, name=f'reg_{i}')
+                for i in range(self.num_pred_layer)
+            ]
+
+    # ---------------- box coding ----------------
+    def bbox_pred_to_bbox(self, points: jnp.ndarray,
+                          bbox_pred: jnp.ndarray) -> jnp.ndarray:
+        """'baseline' coder (reference :267-307): center offset +
+        log-size + euler (or ortho-6d for num_reg=12)."""
+        assert self.box_coder == 'baseline'
+        center = bbox_pred[..., :3] + points
+        size = jnp.clip(jnp.exp(bbox_pred[..., 3:6]), 2e-2, None)
+        if bbox_pred.shape[-1] == 9:
+            euler = bbox_pred[..., 6:]
+        else:
+            x_raw = bbox_pred[..., 6:9]
+            y_raw = bbox_pred[..., 9:12]
+            rot = ortho_6d_to_matrix(x_raw, y_raw)
+            euler = matrix_to_euler_angles(rot, 'ZXY')
+        return jnp.concatenate([center, size, euler], axis=-1)
+
+    # ---------------- forward ----------------
+    def __call__(self, hidden_states, text_feats, text_token_mask):
+        """(L, B, Q, C) hidden states → (L, B, Q, max_text_len) logits."""
+        outs = [
+            self.cls_branches[i](hidden_states[i], text_feats,
+                                 text_token_mask)
+            for i in range(hidden_states.shape[0])
+        ]
+        return jnp.stack(outs)
+
+    # ---------------- loss ----------------
+    def loss(self, hidden_states, all_layers_pred_bboxes, text_feats,
+             text_token_mask, gt_bboxes, gt_masks, positive_maps,
+             query_mask=None, axis_name: Optional[str] = None
+             ) -> Dict[str, jnp.ndarray]:
+        """Masked DETR loss over all decoder layers.
+
+        Args:
+            hidden_states: (L, B, Q, C).
+            all_layers_pred_bboxes: (L, B, Q, 9).
+            gt_bboxes: (B, G, 9) padded gt boxes.
+            gt_masks: (B, G) bool gt validity.
+            positive_maps: (B, G, max_text_len).
+            axis_name: mesh axis for the synced cls_avg_factor.
+        """
+        all_cls = self(hidden_states, text_feats, text_token_mask)
+        L = all_cls.shape[0]
+        losses = {}
+        for lid in range(L):
+            lc, lb = self._loss_single(all_cls[lid],
+                                       all_layers_pred_bboxes[lid],
+                                       text_token_mask, gt_bboxes, gt_masks,
+                                       positive_maps, query_mask, axis_name)
+            if lid == L - 1:
+                losses['loss_cls'] = lc
+                losses['loss_bbox'] = lb
+            else:
+                losses[f'd{lid}.loss_cls'] = lc
+                losses[f'd{lid}.loss_bbox'] = lb
+        return losses
+
+    def _loss_single(self, cls_scores, pred_bboxes, text_token_mask,
+                     gt_bboxes, gt_masks, positive_maps, query_mask,
+                     axis_name):
+        B, Q, _ = cls_scores.shape
+        num_gts = jnp.sum(gt_masks, axis=1).astype(jnp.int32)
+
+        # ---- Hungarian assignment (no grad) ----
+        def costs(scores_b, boxes_b, gts_b, maps_b, tmask_b, gmask_b):
+            c = self.cost_focal_weight * binary_focal_cost(
+                scores_b[:, :tmask_b.shape[0]], maps_b[:, :tmask_b.shape[0]],
+                tmask_b)
+            c = c + self.cost_l1_weight * bbox_l1_cost(boxes_b, gts_b)
+            c = c + self.cost_iou_weight * iou3d_cost(boxes_b, gts_b)
+            # invalid gt columns get huge cost; DP ignores them anyway
+            return jnp.where(gmask_b[None, :], c, 1e6)
+
+        T = text_token_mask.shape[1]
+        cost = jax.vmap(costs)(
+            jax.lax.stop_gradient(cls_scores[..., :T]),
+            jax.lax.stop_gradient(pred_bboxes), gt_bboxes, positive_maps,
+            text_token_mask, gt_masks)
+        if query_mask is not None:
+            cost = jnp.where(query_mask[:, :, None], cost, 1e6)
+        assign = hungarian_assign_dp(cost, num_gts)  # (B, Q), -1 unassigned
+
+        pos = assign >= 0  # (B, Q)
+        safe_assign = jnp.where(pos, assign, 0)
+        # labels: positive map of the matched gt, zeros otherwise
+        labels = jnp.take_along_axis(positive_maps, safe_assign[..., None],
+                                     axis=1)  # (B, Q, max_text_len)
+        labels = jnp.where(pos[..., None], labels, 0.0)
+        bbox_targets = jnp.take_along_axis(gt_bboxes, safe_assign[..., None],
+                                           axis=1)
+
+        num_total_pos = jnp.sum(pos).astype(jnp.float32)
+        num_total_neg = jnp.sum(
+            (query_mask if query_mask is not None else
+             jnp.ones_like(pos))) - num_total_pos
+        cls_avg = num_total_pos + num_total_neg * self.bg_cls_weight
+        if self.sync_cls_avg_factor and axis_name is not None:
+            cls_avg = jax.lax.pmean(cls_avg, axis_name)
+        cls_avg = jnp.maximum(cls_avg, 1.0)
+
+        # ---- classification: focal over valid text tokens ----
+        tmask_full = jnp.zeros((B, self.max_text_len), bool
+                               ).at[:, :T].set(text_token_mask)
+        weight = tmask_full[:, None, :].astype(jnp.float32)
+        if query_mask is not None:
+            weight = weight * query_mask[..., None]
+        logits = jnp.where(jnp.isfinite(cls_scores), cls_scores, 0.0)
+        valid_logit = jnp.isfinite(cls_scores)
+        loss_cls = sigmoid_focal_loss(
+            logits, labels[..., :self.max_text_len],
+            weight * valid_logit, avg_factor=cls_avg) * self.loss_cls_weight
+
+        # ---- bbox: decoupled corner-Chamfer ----
+        pos_f = pos.astype(jnp.float32)
+        if axis_name is not None:
+            np_sync = jnp.maximum(jax.lax.pmean(num_total_pos, axis_name),
+                                  1.0)
+        else:
+            np_sync = jnp.maximum(num_total_pos, 1.0)
+
+        pc, ps, pe = (pred_bboxes[..., :3], pred_bboxes[..., 3:6],
+                      pred_bboxes[..., 6:])
+        tc, ts, te = (bbox_targets[..., :3], bbox_targets[..., 3:6],
+                      bbox_targets[..., 6:])
+
+        def cd(src):
+            per_box = chamfer_corner_loss(src, bbox_targets,
+                                          self.bbox_loss_mode,
+                                          self.bbox_loss_group)
+            return jnp.sum(per_box * pos_f) / jnp.maximum(
+                jnp.sum(pos_f), 1.0)
+
+        if self.decouple_bbox_loss:
+            w = self.decouple_weights
+            loss_bbox = (
+                w[0] * cd(jnp.concatenate([pc, ts, te], -1))
+                + w[1] * cd(jnp.concatenate([tc, ps, te], -1))
+                + w[2] * cd(jnp.concatenate([tc, ts, pe], -1)))
+            if self.decouple_groups == 4:
+                loss_bbox = loss_bbox + w[3] * cd(pred_bboxes)
+        else:
+            loss_bbox = cd(pred_bboxes)
+        loss_bbox = loss_bbox * self.loss_bbox_weight
+        return loss_cls, loss_bbox
+
+    # ---------------- predict ----------------
+    def predict(self, hidden_states, all_layers_pred_bboxes, text_feats,
+                text_token_mask, query_mask=None):
+        """Last-layer predictions (reference :566-604): scores =
+        max sigmoid over text tokens, boxes as-is, no NMS."""
+        cls = self.cls_branches[-1](hidden_states[-1], text_feats,
+                                    text_token_mask)
+        scores = jnp.max(jax.nn.sigmoid(
+            jnp.where(jnp.isfinite(cls), cls, -1e9)), axis=-1)  # (B, Q)
+        if query_mask is not None:
+            scores = jnp.where(query_mask, scores, 0.0)
+        return all_layers_pred_bboxes[-1], scores

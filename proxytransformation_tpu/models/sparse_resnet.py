@@ -1,0 +1,186 @@
+"""Sparse 3D ResNet backbone on the TPU-native voxel engine.
+
+Re-design of the reference `MinkResNet` (reference:
+embodiedscan/models/backbones/mink_resnet.py:20-144, depth-34 BasicBlock
+config) on top of ops/sparse.py: neighbor maps are built once per level
+transition and shared by all convolutions on that pair; every conv is a
+gather + MXU matmul scan.
+
+Architecture (voxel strides relative to the 1 cm input level):
+    conv1 k3 s2 (→2 cm) → InstanceNorm → ReLU → maxpool k2 s2 (→4 cm)
+    → 4 stages of BasicBlocks, each starting with stride 2
+    (→8/16/32/64 cm), channels 64/128/256/512.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.sparse import (SparseLevel, build_neighbor_map, downsample_coords,
+                          sparse_conv_apply, sparse_max_pool)
+from ..utils.registry import MODELS
+from .norms import MaskedBatchNorm, MaskedInstanceNorm
+
+_KAIMING = nn.initializers.variance_scaling(2.0, 'fan_out',
+                                            'truncated_normal')
+
+
+class SparseConv(nn.Module):
+    """Sparse convolution layer: params only; geometry comes via `nbr`."""
+    out_channels: int
+    kernel_volume: int  # K³
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, feats, nbr, out_mask):
+        w = self.param('kernel', _KAIMING,
+                       (self.kernel_volume, feats.shape[-1],
+                        self.out_channels))
+        out = sparse_conv_apply(feats, nbr, w, out_mask)
+        if self.use_bias:
+            b = self.param('bias', nn.initializers.zeros,
+                           (self.out_channels, ))
+            out = jnp.where(out_mask[..., None], out + b, 0.0)
+        return out
+
+
+class SparseBasicBlock(nn.Module):
+    """conv3-BN-ReLU-conv3-BN (+1x1 downsample) + ReLU (ME BasicBlock)."""
+    planes: int
+
+    @nn.compact
+    def __call__(self, feats, in_mask, out_mask, nbr_conv1, nbr_conv2,
+                 nbr_down=None, train: bool = False):
+        identity = feats
+        x = SparseConv(self.planes, nbr_conv1.shape[-1], name='conv1')(
+            feats, nbr_conv1, out_mask)
+        x = MaskedBatchNorm(name='norm1')(x, out_mask, train)
+        x = nn.relu(x)
+        x = SparseConv(self.planes, nbr_conv2.shape[-1], name='conv2')(
+            x, nbr_conv2, out_mask)
+        x = MaskedBatchNorm(name='norm2')(x, out_mask, train)
+        if nbr_down is not None:
+            identity = SparseConv(self.planes, 1, name='downsample_conv')(
+                feats, nbr_down, out_mask)
+            identity = MaskedBatchNorm(name='downsample_norm')(
+                identity, out_mask, train)
+        return nn.relu(x + identity)
+
+
+class SparseBottleneck(nn.Module):
+    """1x1-3x3-1x1 bottleneck (expansion 4, ME Bottleneck)."""
+    planes: int
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, feats, in_mask, out_mask, nbr_conv_mid, nbr_self1,
+                 nbr_down=None, train: bool = False):
+        identity = feats
+        # 1x1 at input level feeding the (possibly strided) 3x3
+        x = SparseConv(self.planes, 1, name='conv1')(
+            feats, _self_map_k1(feats, in_mask), in_mask)
+        x = MaskedBatchNorm(name='norm1')(x, in_mask, train)
+        x = nn.relu(x)
+        x = SparseConv(self.planes, nbr_conv_mid.shape[-1], name='conv2')(
+            x, nbr_conv_mid, out_mask)
+        x = MaskedBatchNorm(name='norm2')(x, out_mask, train)
+        x = nn.relu(x)
+        x = SparseConv(self.planes * self.expansion, 1, name='conv3')(
+            x, _self_map_k1(x, out_mask), out_mask)
+        x = MaskedBatchNorm(name='norm3')(x, out_mask, train)
+        if nbr_down is not None:
+            identity = SparseConv(self.planes * self.expansion, 1,
+                                  name='downsample_conv')(feats, nbr_down,
+                                                          out_mask)
+            identity = MaskedBatchNorm(name='downsample_norm')(
+                identity, out_mask, train)
+        return nn.relu(x + identity)
+
+
+def _self_map_k1(feats, mask):
+    """Identity neighbor map for a 1x1 conv on the same level."""
+    B, V = mask.shape
+    idx = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :, None],
+                           (B, V, 1))
+    return jnp.where(mask[..., None], idx, -1)
+
+
+@MODELS.register_module()
+class MinkResNet(nn.Module):
+    """Sparse ResNet over a voxelized point cloud.
+
+    Capacities are the per-sample static voxel budgets of the 6 internal
+    levels (conv1/2cm, pool/4cm, stage1..4). Defaults are sized for
+    100k-point scans (reference per-sample occupancies ≈ 82k/71k/43k/
+    15k/3.7k/0.9k, mink_resnet.py:135-142 comments).
+    """
+    depth: int = 34
+    in_channels: int = 3
+    num_stages: int = 4
+    pool: bool = True
+    norm: str = 'instance'  # stem norm; 'batch' if BATCHNORM=1 in reference
+    capacities: Sequence[int] = (100_000, 80_000, 50_000, 20_000, 6_000,
+                                 2_000)
+
+    arch_settings = {
+        18: ('basic', (2, 2, 2, 2)),
+        34: ('basic', (3, 4, 6, 3)),
+        50: ('bottleneck', (3, 4, 6, 3)),
+        101: ('bottleneck', (3, 4, 23, 3)),
+    }
+
+    @nn.compact
+    def __call__(self, level0: SparseLevel,
+                 train: bool = False) -> List[SparseLevel]:
+        block_type, stage_blocks = self.arch_settings[self.depth]
+        stage_blocks = stage_blocks[:self.num_stages]
+        caps = list(self.capacities)
+
+        # stem: conv1 k3 s2
+        lvl = downsample_coords(level0, caps[0])
+        nbr = build_neighbor_map(level0, lvl, kernel_size=3, stride=2)
+        x = SparseConv(64, 27, name='conv1')(level0.feats, nbr, lvl.mask)
+        if self.norm == 'batch':
+            x = MaskedBatchNorm(name='norm1')(x, lvl.mask, train)
+        else:
+            x = MaskedInstanceNorm(name='norm1')(x, lvl.mask, train)
+        x = nn.relu(x)
+        if self.pool:
+            plvl = downsample_coords(lvl, caps[1])
+            pnbr = build_neighbor_map(lvl, plvl, kernel_size=2, stride=2)
+            x = sparse_max_pool(x, pnbr, plvl.mask)
+            lvl = plvl
+
+        outs: List[SparseLevel] = []
+        for i, n_blocks in enumerate(stage_blocks):
+            planes = 64 * 2 ** i
+            new_lvl = downsample_coords(lvl, caps[2 + i])
+            nbr_stride3 = build_neighbor_map(lvl, new_lvl, 3, 2)
+            nbr_stride1 = build_neighbor_map(lvl, new_lvl, 1, 2)
+            nbr_self = build_neighbor_map(new_lvl, new_lvl, 3, 1)
+            for j in range(n_blocks):
+                first = j == 0
+                if block_type == 'basic':
+                    need_down = first  # stride 2 always at block 0
+                    x = SparseBasicBlock(planes,
+                                         name=f'layer{i + 1}_{j}')(
+                        x, lvl.mask if first else new_lvl.mask,
+                        new_lvl.mask,
+                        nbr_stride3 if first else nbr_self, nbr_self,
+                        nbr_stride1 if need_down else None, train)
+                else:
+                    exp_ch = planes * 4
+                    need_down = first or x.shape[-1] != exp_ch
+                    x = SparseBottleneck(planes,
+                                         name=f'layer{i + 1}_{j}')(
+                        x, lvl.mask if first else new_lvl.mask,
+                        new_lvl.mask,
+                        nbr_stride3 if first else nbr_self, nbr_self,
+                        nbr_stride1 if need_down and first else
+                        (_self_map_k1(x, new_lvl.mask) if need_down else
+                         None), train)
+            lvl = new_lvl
+            outs.append(lvl._replace(feats=x))
+        return outs

@@ -1,0 +1,61 @@
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_synthetic_end_to_end_train_and_val(tmp_path):
+    """Full slice: config → dataset → preprocess → jitted train step →
+    checkpoint → val + grounding metric (the reference's
+    tools/train.py + tools/eval.py path on synthetic data)."""
+    from proxytransformation_tpu.utils.config import Config
+    import proxytransformation_tpu.models  # noqa: F401
+    import proxytransformation_tpu.data  # noqa: F401
+    from proxytransformation_tpu.engine.runner import Runner
+
+    cfg = Config.fromfile(
+        os.path.join(REPO, 'configs/grounding/synthetic_smoke.py'))
+    runner = Runner.from_cfg(cfg, str(tmp_path))
+    runner.train()
+    # checkpoint written
+    ckpts = [d for d in os.listdir(tmp_path) if d.startswith('ckpt_')]
+    assert len(ckpts) >= 1
+    # val results dumped with the bucketed accuracy keys
+    import json
+    with open(tmp_path / 'val_results.json') as f:
+        results = json.load(f)
+    assert 'Overall@0.25' in results
+    assert 0.0 <= results['Overall@0.25'] <= 1.0
+
+
+def test_resume_roundtrip(tmp_path):
+    from proxytransformation_tpu.utils.config import Config
+    import proxytransformation_tpu.models  # noqa: F401
+    import proxytransformation_tpu.data  # noqa: F401
+    from proxytransformation_tpu.engine.runner import Runner
+
+    cfg = Config.fromfile(
+        os.path.join(REPO, 'configs/grounding/synthetic_smoke.py'))
+    runner = Runner.from_cfg(cfg, str(tmp_path))
+    runner.train()
+    step_before = int(runner.state.step)
+    # resume: should restore step and not crash
+    runner2 = Runner.from_cfg(cfg, str(tmp_path))
+    loader = runner2._build_loader(cfg['train_dataloader'], True)
+    runner2._steps_per_epoch = len(loader)
+    first = next(iter(loader))
+    dev, _ = runner2._split_batch(first)
+    runner2.state = runner2._init_state(dev)
+    from proxytransformation_tpu.engine.checkpoint import (
+        latest_checkpoint, load_checkpoint, restore_state)
+    payload = load_checkpoint(latest_checkpoint(str(tmp_path)))
+    import jax
+    restored = restore_state(jax.device_get(runner2.state), payload)
+    assert int(restored.step) == step_before
+    # params actually restored (not re-inited): compare one leaf
+    a = jax.tree_util.tree_leaves(payload['params'])[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
