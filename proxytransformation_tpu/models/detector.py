@@ -50,6 +50,8 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
     use_xyz_feat: bool = True
     max_text_len: int = 256
     n_points: int = 100_000
+    use_preshape: bool = True  # False = SparseFeatureFusion3DGrounder
+    # baseline (reference models/detectors/sparse_featfusion_grounder.py)
 
     # 2D backbone
     img_base_channels: int = 16
@@ -134,9 +136,12 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
         ]  # NHWC per level
 
         # preshape the cloud with text + deepest image level (:385)
-        points, points_mask = self.preshape(
-            batch['points'], batch['points_mask'], text_feats,
-            batch['text_mask'], img_feats[-1], train=train)
+        if self.use_preshape:
+            points, points_mask = self.preshape(
+                batch['points'], batch['points_mask'], text_feats,
+                batch['text_mask'], img_feats[-1], train=train)
+        else:
+            points, points_mask = batch['points'], batch['points_mask']
 
         feats = points if self.use_xyz_feat else batch['points'][..., 3:]
         lvl0 = voxelize_points(points, points_mask, feats,
@@ -228,3 +233,10 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
             hidden, all_boxes, text_feats, batch['text_mask'], query_mask)
         return {'bboxes_3d': boxes, 'scores_3d': box_scores,
                 'query_mask': query_mask}
+
+
+@MODELS.register_module()
+class SparseFeatureFusion3DGrounder(SparseFeatureFusion3DGrounderPreshape):
+    """Baseline grounder without the preshape module (reference
+    models/detectors/sparse_featfusion_grounder.py:31-767)."""
+    use_preshape: bool = False
