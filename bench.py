@@ -16,11 +16,13 @@ import time
 
 import numpy as np
 
-# Anchor for vs_baseline: the round-1 TPU measurement (see BASELINE.md).
-# The PyTorch reference's CUDA/MinkowskiEngine stack cannot run in this
-# environment and the repo publishes no numbers, so improvements are
-# tracked against our own first measurement.
-BASELINE_SCENES_PER_SEC = 20000.0
+# Anchor for vs_baseline: the honest round-1 TPU measurement (see
+# BASELINE.md). The PyTorch reference's CUDA/MinkowskiEngine stack
+# cannot run in this environment and the repo publishes no numbers, so
+# improvements are tracked against our own first honest measurement
+# (pre-Pallas XLA formulation: 4.6 scenes/s; with the Pallas ball-query
+# kernel: ~176 scenes/s — the anchor).
+BASELINE_SCENES_PER_SEC = 176.0
 
 
 def main():
@@ -45,19 +47,20 @@ def main():
 
     variables = model.init(jax.random.PRNGKey(0), pts, mask, text, tmask,
                            img, train=False)
-    fwd = jax.jit(lambda v, *a: model.apply(v, *a, train=False))
-    out = fwd(variables, pts, mask, text, tmask, img)
-    jax.block_until_ready(out)
 
-    # distinct inputs per iteration so no stale-result shortcut is possible
-    n_iters = 20
-    pts_variants = [pts + 0.001 * i for i in range(n_iters)]
-    jax.block_until_ready(pts_variants)
-    t0 = time.perf_counter()
-    outs = [fwd(variables, p, mask, text, tmask, img) for p in pts_variants]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / n_iters
-    scenes_per_sec = B / dt
+    # Honest timing: chained in-jit iterations with a data dependency +
+    # scalar readback; two chain lengths cancel dispatch/RTT overhead
+    # (this environment's remote backend makes naive dispatch loops
+    # meaningless — see utils/timing.py).
+    from proxytransformation_tpu.utils.timing import chained_ms_per_iter
+
+    def step(i, p):
+        out, m = model.apply(variables, p, mask, text, tmask, img,
+                             train=False)
+        return p + 0.0001 * jnp.where(m[..., None], out - p, 0.0)
+
+    ms = chained_ms_per_iter(step, pts)
+    scenes_per_sec = B / (ms / 1e3)
 
     print(json.dumps({
         'metric': 'proxy_transformation_fwd_scenes_per_sec_per_chip',

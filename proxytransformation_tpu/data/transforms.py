@@ -83,7 +83,11 @@ class LoadDepthFromFile:
         depth = cv2.imread(results['depth_img_path'], cv2.IMREAD_UNCHANGED)
         if depth is None:
             raise FileNotFoundError(results['depth_img_path'])
-        depth = depth.astype(np.float32) / results.get('depth_shift', 1000.0)
+        # keep uint16 raw; ConvertRGBDToPoints divides by depth_shift
+        # (native fast path) — float fallback for other sources
+        if depth.dtype != np.uint16:
+            depth = depth.astype(np.float32) / results.get('depth_shift',
+                                                           1000.0)
         results['depth_img'] = depth
         return results
 
@@ -97,23 +101,34 @@ class ConvertRGBDToPoints:
         self.use_color = use_color
 
     def __call__(self, results: dict) -> dict:
+        from .native import depth_to_points
         depth = results['depth_img']
         k = np.asarray(results['depth_cam2img'], np.float32)
-        h, w = depth.shape[:2]
-        us, vs = np.meshgrid(np.arange(w), np.arange(h))
-        d = depth.reshape(-1)
-        nz = d > 0
-        u = us.reshape(-1)[nz].astype(np.float32)
-        v = vs.reshape(-1)[nz].astype(np.float32)
-        d = d[nz]
-        fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
-        x = (u - cx) * d / fx
-        y = (v - cy) * d / fy
-        pts = np.stack([x, y, d], -1)
+        # LoadDepthFromFile already divided by depth_shift; the native
+        # kernel wants the raw uint16, so rescale when possible
+        if depth.dtype == np.uint16:
+            pts = depth_to_points(depth, k,
+                                  results.get('depth_shift', 1000.0))
+        else:
+            h, w = depth.shape[:2]
+            us, vs = np.meshgrid(np.arange(w), np.arange(h))
+            d = depth.reshape(-1)
+            nz = d > 0
+            u = us.reshape(-1)[nz].astype(np.float32)
+            v = vs.reshape(-1)[nz].astype(np.float32)
+            d = d[nz]
+            fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+            pts = np.stack([(u - cx) * d / fx, (v - cy) * d / fy, d], -1)
         if self.use_color:
+            from ..structures.projection import points_cam2img
+            import jax.numpy as jnp
             img = results['img']
-            ui = np.clip(np.round(u).astype(np.int64), 0, img.shape[1] - 1)
-            vi = np.clip(np.round(v).astype(np.int64), 0, img.shape[0] - 1)
+            uv = np.asarray(points_cam2img(jnp.asarray(pts),
+                                           jnp.asarray(k)))
+            ui = np.clip(np.round(uv[:, 0]).astype(np.int64), 0,
+                         img.shape[1] - 1)
+            vi = np.clip(np.round(uv[:, 1]).astype(np.int64), 0,
+                         img.shape[0] - 1)
             pts = np.concatenate([pts, img[vi, ui].astype(np.float32)], -1)
         results['points'] = pts
         return results
@@ -157,15 +172,8 @@ class FPSPointSample:
         n = len(pts)
         if n <= self.num_points:
             return PointSample(self.num_points)(results)
-        sel = np.zeros(self.num_points, np.int64)
-        closest = np.full(n, np.inf)
-        cur = 0
-        xyz = pts[:, :3]
-        for i in range(1, self.num_points):
-            d = np.sum((xyz - xyz[cur]) ** 2, -1)
-            closest = np.minimum(closest, d)
-            cur = int(np.argmax(closest))
-            sel[i] = cur
+        from .native import fps_sample
+        sel = fps_sample(pts, self.num_points)
         results['points'] = pts[sel]
         return results
 
@@ -258,16 +266,14 @@ class AggregateMultiViewPoints:
         self.save_slices = save_slices
 
     def __call__(self, results: dict) -> dict:
+        from .native import invert_4x4, transform_points_inplace
         pts_views = results.pop('points_per_view')
         extr = results['depth2img']['extrinsic']
         out = []
         slices = [0]
         for pts, e in zip(pts_views, extr):
-            xyz1 = np.concatenate(
-                [pts[:, :3], np.ones((len(pts), 1), np.float32)], -1)
-            g = np.linalg.solve(np.asarray(e, np.float64), xyz1.T).T
-            p = pts.copy()
-            p[:, :3] = g[:, :3].astype(np.float32)
+            p = np.ascontiguousarray(pts, np.float32)
+            transform_points_inplace(p, invert_4x4(np.asarray(e)))
             out.append(p)
             slices.append(slices[-1] + len(p))
         results['points'] = np.concatenate(out, 0) if out else \

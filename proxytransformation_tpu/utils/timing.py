@@ -1,0 +1,46 @@
+"""Honest TPU timing.
+
+On this environment's axon backend, `jax.block_until_ready` returns
+before remote execution completes and the tunnel round-trip is ~27 ms,
+so naive dispatch loops report fantasy numbers (measured: "33 PFLOPs").
+The reliable method: run the op N times *inside one jit* with a data
+dependency between iterations, force a scalar readback, and difference
+two chain lengths to cancel the constant overhead.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def chained_ms_per_iter(step_fn: Callable, init_state, n_short: int = 2,
+                        n_long: int = 6) -> float:
+    """Time `state = step_fn(i, state)` per iteration, in milliseconds.
+
+    step_fn must return a pytree of the same structure as init_state and
+    must actually consume its input (data dependency), otherwise the
+    compiler may collapse the chain.
+    """
+
+    def make(n):
+        @jax.jit
+        def chain(state):
+            return jax.lax.fori_loop(0, n, step_fn, state)
+        return chain
+
+    short, long_ = make(n_short), make(n_long)
+
+    def run(f):
+        out = f(init_state)  # warmup/compile
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        t0 = time.perf_counter()
+        out = f(init_state)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        return (time.perf_counter() - t0) * 1e3
+
+    t_short = run(short)
+    t_long = run(long_)
+    return max((t_long - t_short) / (n_long - n_short), 1e-6)
