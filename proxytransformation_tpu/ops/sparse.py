@@ -259,33 +259,32 @@ def _batched_lookup(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     """Find each query in per-sample sorted key arrays: (B, V), (B, Q) →
     (B, Q) int32 index or -1.
 
-    Explicit vectorized binary search (fori_loop over log2(V) halving
-    steps of batched gathers) — the key table typically fits in VMEM so
-    the probes stay on-chip; measured ~100× faster on TPU than
-    `jnp.searchsorted` inside larger jitted programs.
+    TPU-first sort-join with ZERO random memory accesses (XLA's TPU
+    gather lowering makes binary search ~100× slower than it should be):
+      1. sort the concatenated (keys ⊕ queries) by (value, origin-tag) —
+         keys sort before equal-valued queries;
+      2. forward-fill the last-seen key's value and index with two
+         cummax scans (both are monotone by construction);
+      3. un-sort with a second sort keyed on the origin tag, whose
+         query segment comes back in original order.
+    Sorts and scans are fully vectorized on TPU; no gathers/scatters.
     """
-    V = keys.shape[1]
-    # search interval is [0, V] (V+1 candidate positions)
-    steps = max(int(np.ceil(np.log2(V + 1))), 1)
-
-    def per_sample(k, q):
-        lo = jnp.zeros_like(q)
-        hi = jnp.full_like(q, V)
-
-        def body(_, lohi):
-            lo, hi = lohi
-            mid = (lo + hi) // 2
-            km = k[jnp.clip(mid, 0, V - 1)]
-            go_right = km < q
-            return (jnp.where(go_right, mid + 1, lo),
-                    jnp.where(go_right, hi, mid))
-
-        lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
-        idx = jnp.clip(lo, 0, V - 1).astype(jnp.int32)
-        hit = (k[idx] == q) & (q != SENTINEL)
-        return jnp.where(hit, idx, -1)
-
-    return jax.vmap(per_sample)(keys, queries.astype(jnp.int32))
+    B, V = keys.shape
+    Q = queries.shape[1]
+    vals = jnp.concatenate([keys, queries.astype(jnp.int32)], axis=1)
+    tags = jnp.broadcast_to(
+        jnp.arange(V + Q, dtype=jnp.int32)[None], (B, V + Q))
+    # sort by (value, tag): stable; key rows (tag < V) precede queries
+    sval, stag = jax.lax.sort((vals, tags), dimension=1, num_keys=2)
+    is_key = stag < V
+    INT_MIN = jnp.int32(-2**31 + 1)
+    last_key_idx = jax.lax.cummax(jnp.where(is_key, stag, -1), axis=1)
+    last_key_val = jax.lax.cummax(jnp.where(is_key, sval, INT_MIN), axis=1)
+    match = (~is_key) & (last_key_val == sval) & (sval != SENTINEL)
+    result_sorted = jnp.where(match, last_key_idx, -1)
+    # un-sort: order by tag; entries V.. are the queries in input order
+    _, result = jax.lax.sort((stag, result_sorted), dimension=1, num_keys=1)
+    return result[:, V:]
 
 
 # --------------------------------------------------------------------------
