@@ -415,3 +415,121 @@ class Pack3DDetInputs:
             },
         }
         return sample
+
+
+@TRANSFORMS.register_module()
+class MultiScaleFlipAug3D:
+    """Test-time augmentation wrapper (reference test_time_aug.py:13-119):
+    produces one transformed copy of the sample per (scale, flip)
+    combination; `aug_test`/`merge_aug_bboxes_3d` fuse the predictions."""
+
+    def __init__(self, transforms, img_scale=None, pts_scale_ratio=1.0,
+                 flip=False, flip_direction='horizontal'):
+        self.transforms = Compose(transforms)
+        self.pts_scale_ratio = (
+            [pts_scale_ratio] if isinstance(pts_scale_ratio, (int, float))
+            else list(pts_scale_ratio))
+        self.flip = flip
+        self.flip_directions = ([flip_direction] if isinstance(
+            flip_direction, str) else list(flip_direction))
+
+    def __call__(self, results: dict):
+        aug_samples = []
+        flip_opts = [False, True] if self.flip else [False]
+        for scale in self.pts_scale_ratio:
+            for do_flip in flip_opts:
+                for direction in (self.flip_directions if do_flip
+                                  else ['horizontal']):
+                    r = copy.deepcopy(results)
+                    pts = np.asarray(r['points'], np.float32).copy()
+                    meta = {'pcd_scale_factor': scale,
+                            'pcd_horizontal_flip': False,
+                            'pcd_vertical_flip': False}
+                    if scale != 1.0:
+                        pts[:, :3] *= scale
+                    if do_flip and direction == 'horizontal':
+                        pts[:, 0] = -pts[:, 0]
+                        meta['pcd_horizontal_flip'] = True
+                    if do_flip and direction == 'vertical':
+                        pts[:, 1] = -pts[:, 1]
+                        meta['pcd_vertical_flip'] = True
+                    r['points'] = pts
+                    r['aug_meta'] = meta
+                    out = self.transforms(r)
+                    out['aug_meta'] = meta
+                    aug_samples.append(out)
+                    if not do_flip and scale == 1.0 and len(
+                            self.pts_scale_ratio) == 1 and not self.flip:
+                        pass
+        return aug_samples
+
+
+@TRANSFORMS.register_module()
+class ConstructMultiSweeps:
+    """Build 1..N cumulative point sweeps from per-view clouds
+    (reference multiview.py:255-328): each sweep concatenates the
+    points of views 1..k, for continuous 3D perception."""
+
+    def __call__(self, results: dict) -> dict:
+        slices = results.get('points_slice_indices')
+        pts = results['points']
+        if slices is None:
+            results['multi_sweeps'] = [pts]
+            return results
+        sweeps = [pts[:slices[k]] for k in range(1, len(slices))]
+        results['multi_sweeps'] = sweeps
+        return results
+
+
+@TRANSFORMS.register_module()
+class PointsToGPU:
+    """No-op marker (reference saving.py:10-87 moved points to CUDA in
+    the worker; device placement here happens at jit boundaries)."""
+
+    def __call__(self, results: dict) -> dict:
+        return results
+
+
+@TRANSFORMS.register_module()
+class LoadPreprocessedData:
+    """Load a cached preprocessed sample from disk (reference
+    loading.py:17-72's SHM cache, file-backed here)."""
+
+    def __init__(self, cache_dir: str):
+        self.cache_dir = cache_dir
+
+    def __call__(self, results: dict) -> dict:
+        import os
+        import pickle
+        key = results.get('scan_id', '').replace('/', '_')
+        path = os.path.join(self.cache_dir, key + '.pkl')
+        if os.path.exists(path):
+            with open(path, 'rb') as f:
+                cached = pickle.load(f)
+            results.update(cached)
+            results['_cache_hit'] = True
+        return results
+
+
+@TRANSFORMS.register_module()
+class SavingPreprocessData:
+    """Persist expensive pipeline outputs (reference saving.py:10-87)."""
+
+    def __init__(self, cache_dir: str,
+                 keys=('points', 'img', 'depth2img')):
+        import os
+        self.cache_dir = cache_dir
+        self.keys = keys
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def __call__(self, results: dict) -> dict:
+        import os
+        import pickle
+        if results.get('_cache_hit'):
+            return results
+        key = results.get('scan_id', '').replace('/', '_')
+        path = os.path.join(self.cache_dir, key + '.pkl')
+        with open(path, 'wb') as f:
+            pickle.dump({k: results[k] for k in self.keys if k in results},
+                        f)
+        return results

@@ -148,7 +148,8 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
                                voxel_size=self.voxel_size,
                                capacity=self.n_points,
                                extent=tuple(self.voxel_extent))
-        levels = self.backbone_3d(lvl0, train=train)
+        levels, self_maps = self.backbone_3d(lvl0, train=train,
+                                             return_self_maps=True)
 
         # 2D→3D painting per level (:404-479)
         painted = []
@@ -169,7 +170,7 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
             painted.append(
                 lvl._replace(feats=jnp.concatenate([lvl.feats, feat2d], -1)))
 
-        return self.neck_3d(painted, train=train)
+        return self.neck_3d(painted, train=train, self_maps=self_maps)
 
     # ------------------------------------------------------------------
     def pre_decoder(self, feats, scores_unused, xyz, feats_mask, text_feats,

@@ -68,7 +68,8 @@ class Embodied3DDetector(nn.Module):
                                voxel_size=self.voxel_size,
                                capacity=self.n_points,
                                extent=tuple(self.voxel_extent))
-        levels = self.backbone_3d(lvl0, train=train)
+        levels, self_maps = self.backbone_3d(lvl0, train=train,
+                                             return_self_maps=True)
         painted = []
         for lvl_idx, lvl in enumerate(levels):
             xyz = lvl.world_xyz()
@@ -83,15 +84,16 @@ class Embodied3DDetector(nn.Module):
                 batch['views_mask'])
             painted.append(
                 lvl._replace(feats=jnp.concatenate([lvl.feats, feat2d], -1)))
-        return painted
+        return painted, self_maps
 
     def __call__(self, batch: Dict[str, Any], mode: str = 'predict',
                  train: Optional[bool] = None,
                  axis_name: Optional[str] = None):
         if train is None:
             train = mode == 'loss'
-        levels = self.extract_feat(batch, train)
-        head_outs = self.bbox_head(levels, train=train)
+        levels, self_maps = self.extract_feat(batch, train)
+        head_outs = self.bbox_head(levels, train=train,
+                                   self_maps=self_maps)
         if mode == 'loss':
             return self.bbox_head.loss(head_outs, batch['gt_bboxes'],
                                        batch['gt_labels'],

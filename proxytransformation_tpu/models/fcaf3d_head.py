@@ -90,7 +90,8 @@ class FCAF3DHead(nn.Module):
 
     # ------------------------------------------------------------------
     @nn.compact
-    def __call__(self, inputs: List[SparseLevel], train: bool = False):
+    def __call__(self, inputs: List[SparseLevel], train: bool = False,
+                 self_maps=None):
         """FPN + head convs. Returns, each fine→coarse-concatenated with
         static P rows/level: center (B,LP,1), bbox (B,LP,R), cls (B,LP,C),
         points (B,LP,3), mask (B,LP), level_ids (LP,)."""
@@ -108,7 +109,8 @@ class FCAF3DHead(nn.Module):
         prune_score = None
         for i in range(n - 1, -1, -1):
             fine = inputs[i]
-            fine_nbr = build_neighbor_map(fine, fine, 3, 1)
+            fine_nbr = (self_maps[i] if self_maps is not None
+                        else build_neighbor_map(fine, fine, 3, 1))
             if i < n - 1:
                 coarse = inputs[i + 1]
                 parent_idx, offset_id = generative_transpose_map(fine, coarse)

@@ -97,7 +97,8 @@ class MinkNeck(nn.Module):
     pts_prune_threshold: int = 1000
 
     @nn.compact
-    def __call__(self, inputs: List[SparseLevel], train: bool = False):
+    def __call__(self, inputs: List[SparseLevel], train: bool = False,
+                 self_maps=None):
         n = len(inputs)
         conv_cls = nn.Dense(
             self.num_classes,
@@ -112,7 +113,8 @@ class MinkNeck(nn.Module):
         # matching ME features_at_coordinates' 0-for-missing
         for i in range(n - 1, -1, -1):
             fine = inputs[i]
-            fine_nbr = build_neighbor_map(fine, fine, 3, 1)
+            fine_nbr = (self_maps[i] if self_maps is not None
+                        else build_neighbor_map(fine, fine, 3, 1))
             if i < n - 1:
                 coarse = inputs[i + 1]
                 parent_idx, offset_id = generative_transpose_map(fine, coarse)

@@ -132,8 +132,8 @@ class MinkResNet(nn.Module):
     }
 
     @nn.compact
-    def __call__(self, level0: SparseLevel,
-                 train: bool = False) -> List[SparseLevel]:
+    def __call__(self, level0: SparseLevel, train: bool = False,
+                 return_self_maps: bool = False):
         block_type, stage_blocks = self.arch_settings[self.depth]
         stage_blocks = stage_blocks[:self.num_stages]
         caps = list(self.capacities)
@@ -154,6 +154,7 @@ class MinkResNet(nn.Module):
             lvl = plvl
 
         outs: List[SparseLevel] = []
+        self_maps = []
         for i, n_blocks in enumerate(stage_blocks):
             planes = 64 * 2 ** i
             new_lvl = downsample_coords(lvl, caps[2 + i])
@@ -183,4 +184,7 @@ class MinkResNet(nn.Module):
                          None), train)
             lvl = new_lvl
             outs.append(lvl._replace(feats=x))
+            self_maps.append(nbr_self)
+        if return_self_maps:
+            return outs, self_maps
         return outs

@@ -80,11 +80,12 @@ def _kernel(r2_ref, centers_ref, points_ref, out_ref,
         out_ref[0] = acc_ref[:] - 1  # empty slots: 0-1 = -1
 
 
-@functools.partial(jax.jit, static_argnames=('K', 'TM', 'T'))
+@functools.partial(jax.jit,
+                   static_argnames=('K', 'TM', 'T', 'interpret'))
 def ball_query_idx_pallas(centers: jnp.ndarray, points: jnp.ndarray,
                           points_mask: jnp.ndarray, radius2: jnp.ndarray,
-                          K: int, TM: int = 128,
-                          T: int = 2048) -> jnp.ndarray:
+                          K: int, TM: int = 128, T: int = 2048,
+                          interpret: bool = False) -> jnp.ndarray:
     """(B, M, 3) centers × (B, N, 3) points → (B, M, K) int32 indices."""
     B, M, _ = centers.shape
     N = points.shape[1]
@@ -120,6 +121,7 @@ def ball_query_idx_pallas(centers: jnp.ndarray, points: jnp.ndarray,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
     )(r2, centers, p4)
     return out[:, :M, :K]
 
@@ -136,5 +138,5 @@ def ball_query_pallas(centers: jnp.ndarray, points: jnp.ndarray, K: int,
     r2 = jnp.asarray(radius, jnp.float32) ** 2
     idx = ball_query_idx_pallas(centers.astype(jnp.float32),
                                 points.astype(jnp.float32), points_mask,
-                                r2, K)
+                                r2, K, interpret=interpret)
     return idx, masked_gather(points, idx)

@@ -97,3 +97,42 @@ def test_projection_roundtrip():
     uvd = points_cam2img(pts, cam2img, with_depth=True)
     rec = points_img2cam(uvd, cam2img)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(pts), atol=1e-4)
+
+
+def test_box3d_mode_roundtrip():
+    from proxytransformation_tpu.structures.modes import (Box3DMode,
+                                                          convert_box,
+                                                          convert_point)
+    rng = np.random.RandomState(5)
+    boxes = np.concatenate([
+        rng.uniform(-2, 2, (4, 3)), rng.uniform(0.5, 2, (4, 3)),
+        rng.uniform(-1, 1, (4, 3))
+    ], -1).astype(np.float32)
+    fwd = convert_box(jnp.asarray(boxes), Box3DMode.DEPTH, Box3DMode.CAM)
+    back = convert_box(fwd, Box3DMode.CAM, Box3DMode.DEPTH)
+    np.testing.assert_allclose(np.asarray(box_corners(back)),
+                               np.asarray(box_corners(jnp.asarray(boxes))),
+                               atol=1e-4)
+    # corner sets must match under the frame change
+    want = np.asarray(convert_point(
+        jnp.asarray(np.asarray(box_corners(jnp.asarray(boxes)))
+                    .reshape(-1, 3)),
+        Box3DMode.DEPTH, Box3DMode.CAM)).reshape(4, 8, 3)
+    got = np.asarray(box_corners(fwd))
+    for i in range(4):
+        np.testing.assert_allclose(np.sort(got[i], 0), np.sort(want[i], 0),
+                                   atol=1e-4)
+
+
+def test_points_container_conversion_roundtrip():
+    from proxytransformation_tpu.structures import DepthPoints
+    rng = np.random.RandomState(6)
+    pts = DepthPoints(jnp.asarray(rng.randn(32, 3).astype(np.float32)))
+    cam = pts.convert_to('CAMERA')
+    back = cam.convert_to('DEPTH')
+    np.testing.assert_allclose(np.asarray(back.coord), np.asarray(pts.coord),
+                               atol=1e-5)
+    # norms preserved under frame change
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(cam.coord), axis=1),
+        np.linalg.norm(np.asarray(pts.coord), axis=1), atol=1e-5)
