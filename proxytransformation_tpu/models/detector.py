@@ -199,10 +199,6 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
                             text_mask, train: bool):
         query, query_coords, pred_bboxes, query_mask = self.pre_decoder(
             feats, scores, xyz, feats_mask, text_feats, text_mask)
-
-        def refine_fn(q, lid):
-            return self.bbox_head.reg_branches[lid](q)
-
         hidden, all_boxes = self.decoder(
             query, feats, ~feats_mask, query_coords, xyz, pred_bboxes,
             text_feats, ~text_mask,

@@ -187,20 +187,32 @@ class GroundingHead(nn.Module):
         num_gts = jnp.sum(gt_masks, axis=1).astype(jnp.int32)
 
         # ---- Hungarian assignment (no grad) ----
-        def costs(scores_b, boxes_b, gts_b, maps_b, tmask_b, gmask_b):
+        # The exact-IoU cost is computed in ONE flat (B·Q, B·G) call and
+        # block-diagonally sliced: the per-sample vmapped variant triggers
+        # a libtpu AOT compiler segfault when inlined into the full loss
+        # graph (bisected; standalone it compiles fine).
+        pred_sg = jax.lax.stop_gradient(pred_bboxes)
+        G = gt_bboxes.shape[1]
+        iou_flat = -iou3d_cost(pred_sg.reshape(B * Q, 9),
+                               gt_bboxes.reshape(B * G, 9))  # IoU (BQ, BG)
+        iou_diag = iou_flat.reshape(B, Q, B, G)
+        iou_bqg = jnp.einsum('bqbg->bqg', iou_diag)
+
+        def costs(scores_b, boxes_b, gts_b, maps_b, tmask_b, gmask_b,
+                  iou_b):
             c = self.cost_focal_weight * binary_focal_cost(
                 scores_b[:, :tmask_b.shape[0]], maps_b[:, :tmask_b.shape[0]],
                 tmask_b)
             c = c + self.cost_l1_weight * bbox_l1_cost(boxes_b, gts_b)
-            c = c + self.cost_iou_weight * iou3d_cost(boxes_b, gts_b)
+            c = c + self.cost_iou_weight * (-iou_b)
             # invalid gt columns get huge cost; DP ignores them anyway
             return jnp.where(gmask_b[None, :], c, 1e6)
 
         T = text_token_mask.shape[1]
         cost = jax.vmap(costs)(
             jax.lax.stop_gradient(cls_scores[..., :T]),
-            jax.lax.stop_gradient(pred_bboxes), gt_bboxes, positive_maps,
-            text_token_mask, gt_masks)
+            pred_sg, gt_bboxes, positive_maps,
+            text_token_mask, gt_masks, iou_bqg)
         if query_mask is not None:
             cost = jnp.where(query_mask[:, :, None], cost, 1e6)
         assign = hungarian_assign_dp(cost, num_gts)  # (B, Q), -1 unassigned

@@ -73,7 +73,13 @@ def _ball_query_idx(centers: jnp.ndarray, points: jnp.ndarray,
     return jnp.where(best >= sentinel - jnp.int32(pad), -1, best)
 
 
-def _tpu_backend() -> bool:
+def _use_pallas() -> bool:
+    import os
+    mode = os.environ.get('PTT_BALLQUERY', 'auto')
+    if mode == 'xla':
+        return False
+    if mode == 'pallas':
+        return True
     try:
         return jax.default_backend() not in ('cpu', )
     except Exception:
@@ -103,7 +109,7 @@ def ball_query(centers: jnp.ndarray,
         idx: (B, M, K) int32 indices into N, -1-padded.
         grouped: (B, M, K, 3) gathered points (0 where padded).
     """
-    if _tpu_backend():
+    if _use_pallas():
         from .ball_query_pallas import ball_query_pallas
         return ball_query_pallas(centers, points, K, radius, points_mask)
     radius2 = jnp.asarray(radius, jnp.float32) ** 2

@@ -136,7 +136,11 @@ def ball_query_pallas(centers: jnp.ndarray, points: jnp.ndarray, K: int,
     if points_mask is None:
         points_mask = jnp.ones(points.shape[:2], bool)
     r2 = jnp.asarray(radius, jnp.float32) ** 2
-    idx = ball_query_idx_pallas(centers.astype(jnp.float32),
-                                points.astype(jnp.float32), points_mask,
-                                r2, K, interpret=interpret)
+    # indices are int (non-differentiable, like pytorch3d's); gradients
+    # flow through the gathered values — stop tangents so autodiff never
+    # tries to JVP through the kernel
+    idx = ball_query_idx_pallas(
+        jax.lax.stop_gradient(centers.astype(jnp.float32)),
+        jax.lax.stop_gradient(points.astype(jnp.float32)), points_mask,
+        r2, K, interpret=interpret)
     return idx, masked_gather(points, idx)

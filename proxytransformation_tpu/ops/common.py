@@ -47,6 +47,5 @@ def masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray,
                    axis: int = -1) -> jnp.ndarray:
     """Softmax with masked positions receiving ~0 probability."""
     logits = jnp.where(mask, logits, -1e9)
-    return jnp.exp(logits - jnp.max(logits, axis=axis, keepdims=True)) / \
-        jnp.sum(jnp.exp(logits - jnp.max(logits, axis=axis, keepdims=True)),
-                axis=axis, keepdims=True)
+    e = jnp.exp(logits - jnp.max(logits, axis=axis, keepdims=True))
+    return e / jnp.sum(e, axis=axis, keepdims=True)

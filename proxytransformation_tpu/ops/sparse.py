@@ -388,13 +388,11 @@ def prune_topk(level: SparseLevel, scores: jnp.ndarray,
     reference mink_neck.py:163-186). Arrays stay in place; only the
     mask shrinks, so downstream shapes are unchanged."""
     s = jnp.where(level.mask, scores, -jnp.inf)
-    kth = -jax.lax.top_k(s, min(k, level.capacity))[0][:, -1]
-    keep = level.mask & (s >= -kth[:, None])
-    # guard against ties producing > k: keep first k in score order
-    order = jnp.argsort(jnp.where(keep, -s, jnp.inf), axis=1, stable=True)
+    # rank voxels by score (stable), keep the k best valid ones
+    order = jnp.argsort(-s, axis=1, stable=True)
     rank = jnp.zeros_like(order).at[
         jnp.arange(order.shape[0])[:, None], order].set(
             jnp.broadcast_to(jnp.arange(order.shape[1]), order.shape))
-    keep = keep & (rank < k)
+    keep = level.mask & (rank < k)
     return level._replace(mask=keep,
                           feats=jnp.where(keep[..., None], level.feats, 0.0))
