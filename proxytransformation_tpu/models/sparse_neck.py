@@ -51,7 +51,7 @@ class _UpBlock(nn.Module):
         x = MaskedBatchNorm(name='norm1')(x, fine_mask, train)
         x = nn.elu(x)
         x = SparseConv(self.out_channels, fine_nbr.shape[-1],
-                       name='conv')(x, fine_nbr, fine_mask)
+                       name='conv', self_map=True)(x, fine_nbr, fine_mask)
         x = MaskedBatchNorm(name='norm2')(x, fine_mask, train)
         return nn.elu(x)
 
@@ -62,8 +62,8 @@ class _OutBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, nbr, mask, train: bool = False):
-        x = SparseConv(self.out_channels, nbr.shape[-1], name='conv')(
-            feats, nbr, mask)
+        x = SparseConv(self.out_channels, nbr.shape[-1], name='conv',
+                       self_map=True)(feats, nbr, mask)
         x = MaskedBatchNorm(name='norm')(x, mask, train)
         return nn.elu(x)
 

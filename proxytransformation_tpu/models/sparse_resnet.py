@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.sparse import (SparseLevel, build_neighbor_map, downsample_coords,
-                          sparse_conv_apply, sparse_max_pool)
+                          sparse_conv, sparse_max_pool)
 from ..utils.registry import MODELS
 from .norms import MaskedBatchNorm, MaskedInstanceNorm
 
@@ -28,17 +28,22 @@ _KAIMING = nn.initializers.variance_scaling(2.0, 'fan_out',
 
 
 class SparseConv(nn.Module):
-    """Sparse convolution layer: params only; geometry comes via `nbr`."""
+    """Sparse convolution layer: params only; geometry comes via `nbr`.
+
+    `self_map=True` marks stride-1 same-level maps, routing to the
+    Pallas monotone-window kernel on TPU (ops/sparse_conv_pallas.py).
+    """
     out_channels: int
     kernel_volume: int  # K³
     use_bias: bool = False
+    self_map: bool = False
 
     @nn.compact
     def __call__(self, feats, nbr, out_mask):
         w = self.param('kernel', _KAIMING,
                        (self.kernel_volume, feats.shape[-1],
                         self.out_channels))
-        out = sparse_conv_apply(feats, nbr, w, out_mask)
+        out = sparse_conv(feats, nbr, w, out_mask, self_map=self.self_map)
         if self.use_bias:
             b = self.param('bias', nn.initializers.zeros,
                            (self.out_channels, ))
@@ -49,16 +54,19 @@ class SparseConv(nn.Module):
 class SparseBasicBlock(nn.Module):
     """conv3-BN-ReLU-conv3-BN (+1x1 downsample) + ReLU (ME BasicBlock)."""
     planes: int
+    conv1_self: bool = True  # False for the strided first block
 
     @nn.compact
     def __call__(self, feats, in_mask, out_mask, nbr_conv1, nbr_conv2,
                  nbr_down=None, train: bool = False):
         identity = feats
-        x = SparseConv(self.planes, nbr_conv1.shape[-1], name='conv1')(
+        x = SparseConv(self.planes, nbr_conv1.shape[-1], name='conv1',
+                       self_map=self.conv1_self)(
             feats, nbr_conv1, out_mask)
         x = MaskedBatchNorm(name='norm1')(x, out_mask, train)
         x = nn.relu(x)
-        x = SparseConv(self.planes, nbr_conv2.shape[-1], name='conv2')(
+        x = SparseConv(self.planes, nbr_conv2.shape[-1], name='conv2',
+                       self_map=True)(
             x, nbr_conv2, out_mask)
         x = MaskedBatchNorm(name='norm2')(x, out_mask, train)
         if nbr_down is not None:
@@ -73,6 +81,7 @@ class SparseBottleneck(nn.Module):
     """1x1-3x3-1x1 bottleneck (expansion 4, ME Bottleneck)."""
     planes: int
     expansion: int = 4
+    conv2_self: bool = True  # False for the strided first block
 
     @nn.compact
     def __call__(self, feats, in_mask, out_mask, nbr_conv_mid, nbr_self1,
@@ -83,7 +92,8 @@ class SparseBottleneck(nn.Module):
             feats, _self_map_k1(feats, in_mask), in_mask)
         x = MaskedBatchNorm(name='norm1')(x, in_mask, train)
         x = nn.relu(x)
-        x = SparseConv(self.planes, nbr_conv_mid.shape[-1], name='conv2')(
+        x = SparseConv(self.planes, nbr_conv_mid.shape[-1], name='conv2',
+                       self_map=self.conv2_self)(
             x, nbr_conv_mid, out_mask)
         x = MaskedBatchNorm(name='norm2')(x, out_mask, train)
         x = nn.relu(x)
@@ -165,7 +175,7 @@ class MinkResNet(nn.Module):
                 first = j == 0
                 if block_type == 'basic':
                     need_down = first  # stride 2 always at block 0
-                    x = SparseBasicBlock(planes,
+                    x = SparseBasicBlock(planes, conv1_self=not first,
                                          name=f'layer{i + 1}_{j}')(
                         x, lvl.mask if first else new_lvl.mask,
                         new_lvl.mask,
@@ -174,7 +184,7 @@ class MinkResNet(nn.Module):
                 else:
                     exp_ch = planes * 4
                     need_down = first or x.shape[-1] != exp_ch
-                    x = SparseBottleneck(planes,
+                    x = SparseBottleneck(planes, conv2_self=not first,
                                          name=f'layer{i + 1}_{j}')(
                         x, lvl.mask if first else new_lvl.mask,
                         new_lvl.mask,

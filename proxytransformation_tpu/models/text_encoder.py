@@ -228,8 +228,22 @@ class HFTokenizerWrapper:
 
 
 def build_tokenizer(path: Optional[str] = None):
-    """HF tokenizer from a local path if usable, else the hash fallback."""
+    """Best available tokenizer for a local path.
+
+    Preference order: our pure-python CLIP BPE (exact, offline — see
+    data/clip_bpe.py) when vocab.json+merges.txt exist at `path`, then
+    a HF tokenizer loaded from `path`, then the hash fallback.
+    """
     if path:
+        import os
+        vj = os.path.join(path, 'vocab.json')
+        mt = os.path.join(path, 'merges.txt')
+        if os.path.exists(vj) and os.path.exists(mt):
+            try:
+                from ..data.clip_bpe import ClipBPETokenizer
+                return ClipBPETokenizer.from_files(vj, mt)
+            except Exception:
+                pass
         try:
             return HFTokenizerWrapper(path)
         except Exception:

@@ -294,6 +294,64 @@ def _batched_lookup(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 # compute primitives
 # --------------------------------------------------------------------------
+def sparse_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
+                out_mask: jnp.ndarray, self_map: bool = False) -> jnp.ndarray:
+    """Sparse conv with backend dispatch.
+
+    On TPU, stride-1 (self-map) K³>1 convolutions use the Pallas
+    monotone-window gather-GEMM kernel (ops/sparse_conv_pallas.py,
+    measured 1.4-2.3× over the XLA gather-scan at model shapes); strided
+    maps and CPU fall back to the XLA path. Gradients always flow
+    through the XLA formulation (custom_vjp below).
+    """
+    if (self_map and nbr.shape[-1] > 1
+            and jax.default_backend() == 'tpu'):
+        return _sparse_conv_pallas_ad(feats, nbr, weights, out_mask)
+    return sparse_conv_apply(feats, nbr, weights, out_mask)
+
+
+@jax.custom_vjp
+def _sparse_conv_pallas_ad(feats, nbr, weights, out_mask):
+    from .sparse_conv_pallas import sparse_conv_gather_gemm
+    return sparse_conv_gather_gemm(feats, nbr, weights, out_mask)
+
+
+def _sparse_conv_pallas_fwd(feats, nbr, weights, out_mask):
+    return (_sparse_conv_pallas_ad(feats, nbr, weights, out_mask),
+            (feats, nbr, weights, out_mask))
+
+
+def _sparse_conv_pallas_bwd(res, g):
+    """XLA backward: dW via gather+einsum, dfeats via scatter-add."""
+    feats, nbr, weights, out_mask = res
+    g = jnp.where(out_mask[..., None], g, 0.0).astype(jnp.float32)
+    f32 = feats.astype(jnp.float32)
+    bidx = jnp.arange(feats.shape[0])[:, None]
+
+    def step(dfeats, inp):
+        w_k, idx = inp                       # (C_in, C_out), (B, V_out)
+        hit = idx >= 0
+        safe = jnp.where(hit, idx, 0)
+        gathered = jnp.take_along_axis(f32, safe[..., None], axis=1)
+        gathered = jnp.where(hit[..., None], gathered, 0.0)
+        dw_k = jnp.einsum('bvc,bvd->cd', gathered, g,
+                          preferred_element_type=jnp.float32)
+        contrib = jnp.einsum('bvd,cd->bvc', g, w_k.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+        contrib = jnp.where(hit[..., None], contrib, 0.0)
+        dfeats = dfeats.at[bidx, safe].add(contrib)
+        return dfeats, dw_k
+
+    dfeats, dW = jax.lax.scan(
+        step, jnp.zeros_like(f32), (weights, jnp.moveaxis(nbr, -1, 0)))
+    return (dfeats.astype(feats.dtype), None, dW.astype(weights.dtype),
+            None)
+
+
+_sparse_conv_pallas_ad.defvjp(_sparse_conv_pallas_fwd,
+                              _sparse_conv_pallas_bwd)
+
+
 def sparse_conv_apply(feats: jnp.ndarray, nbr: jnp.ndarray,
                       weights: jnp.ndarray,
                       out_mask: jnp.ndarray) -> jnp.ndarray:
