@@ -1,38 +1,45 @@
-"""Benchmark: ProxyTransformation preshape forward, scenes/sec/chip.
+"""Benchmark: ProxyTransformation preshape fwd + full-model fwd + train step.
 
-Measures BASELINE.json config #3 — "full ProxyTransformation module:
-text + multi-view image proxies, batch=4 scenes" — at the reference
-scale (grid 12 → 1728 clusters, dynamic_drop 0.6, 100k points, 20
-views, CLIP-text dims), on whatever backend is available (the real TPU
-under the driver).
+Three honest measurements on whatever backend is available (the real
+TPU under the driver):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` is measured against the provisional round-1 TPU number
-recorded in BASELINE.md (the reference repo publishes no numbers and
-its CUDA/MinkowskiEngine stack cannot run here; see BASELINE.md).
+  1. preshape fwd — BASELINE.json config #3 ("full ProxyTransformation
+     module: text + multi-view image proxies, batch=4 scenes") at the
+     reference scale (grid 12 → 1728 clusters, dynamic_drop 0.6, 100k
+     points, 20 views, CLIP-text dims). Primary metric; `vs_baseline`
+     anchors to the round-1 TPU number (BASELINE.md).
+  2. full detector forward (extract_feat + decoder + head, predict
+     path) at flagship scale.
+  3. jitted train step (loss + grads + AdamW update) at the reference
+     per-device config (B=6, 100k pts, 20 views — configs/...clip.py:146),
+     falling back to a smaller B on OOM with the B used reported.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+the secondary measurements as extra keys.
+
+Timing note: this environment's remote TPU backend returns from
+`block_until_ready` before execution completes, so all numbers use
+`utils/timing.py::chained_ms_per_iter` (N data-dependent in-jit
+iterations + scalar readback, two chain lengths differenced).
 """
 import json
-import time
+import sys
+import traceback
 
 import numpy as np
 
-# Anchor for vs_baseline: the honest round-1 TPU measurement (see
-# BASELINE.md). The PyTorch reference's CUDA/MinkowskiEngine stack
-# cannot run in this environment and the repo publishes no numbers, so
-# improvements are tracked against our own first honest measurement
-# (pre-Pallas XLA formulation: 4.6 scenes/s; with the Pallas ball-query
-# kernel: ~176 scenes/s — the anchor).
+# Anchor for vs_baseline: the honest round-1 TPU measurement of the
+# preshape module (see BASELINE.md). The PyTorch reference's
+# CUDA/MinkowskiEngine stack cannot run in this environment and the
+# repo publishes no numbers, so improvements are tracked against our
+# own first honest measurement (round 1: 176 scenes/s with the Pallas
+# ball-query kernel; the pure-XLA formulation before it: 4.6).
 BASELINE_SCENES_PER_SEC = 176.0
 
 
-def main():
-    import jax
-    from proxytransformation_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    import jax.numpy as jnp
+def bench_preshape(jax, jnp, chained_ms_per_iter):
     from proxytransformation_tpu.models.preshape import (
         ProxyTransformationNormReverse)
-
     B, N, V, L = 4, 100_000, 20, 32
     model = ProxyTransformationNormReverse(
         embed_dim=256, num_heads=8, n_points=N, grid_size=12,
@@ -44,15 +51,9 @@ def main():
     text = jnp.asarray(rng.randn(B, L, 256).astype(np.float32))
     tmask = jnp.ones((B, L), bool)
     img = jnp.asarray(rng.randn(B, V, 15, 15, 512).astype(np.float32))
-
-    variables = model.init(jax.random.PRNGKey(0), pts, mask, text, tmask,
-                           img, train=False)
-
-    # Honest timing: chained in-jit iterations with a data dependency +
-    # scalar readback; two chain lengths cancel dispatch/RTT overhead
-    # (this environment's remote backend makes naive dispatch loops
-    # meaningless — see utils/timing.py).
-    from proxytransformation_tpu.utils.timing import chained_ms_per_iter
+    variables = jax.jit(
+        lambda k: model.init(k, pts, mask, text, tmask, img,
+                             train=False))(jax.random.PRNGKey(0))
 
     def step(i, p):
         out, m = model.apply(variables, p, mask, text, tmask, img,
@@ -60,14 +61,137 @@ def main():
         return p + 0.0001 * jnp.where(m[..., None], out - p, 0.0)
 
     ms = chained_ms_per_iter(step, pts)
-    scenes_per_sec = B / (ms / 1e3)
+    return B / (ms / 1e3), ms
 
-    print(json.dumps({
+
+def _flagship_batch(jnp, B, n_points=100_000, V=20, H=480, W=480, L=32,
+                    with_targets=False, max_text_len=256):
+    rng = np.random.RandomState(0)
+    proj = np.tile(
+        np.array([[400, 0, W / 2, 0], [0, 400, H / 2, 0], [0, 0, 1, 0],
+                  [0, 0, 0, 1]], np.float32), (B, V, 1, 1))
+    batch = {
+        'imgs': jnp.asarray(rng.randn(B, V, H, W, 3).astype(np.float32)),
+        'points': jnp.asarray(
+            rng.uniform(0, 6.0, (B, n_points, 3)).astype(np.float32)),
+        'points_mask': jnp.ones((B, n_points), bool),
+        'input_ids': jnp.asarray(rng.randint(0, 49408, (B, L)), jnp.int32),
+        'text_mask': jnp.ones((B, L), bool),
+        'proj_mats': jnp.asarray(proj),
+        'views_mask': jnp.ones((B, V), bool),
+    }
+    if with_targets:
+        G = 8
+        gt = np.concatenate([
+            rng.uniform(1, 5, (B, G, 3)),
+            rng.uniform(0.3, 1.5, (B, G, 3)),
+            rng.uniform(-0.5, 0.5, (B, G, 3))], -1).astype(np.float32)
+        pm = np.zeros((B, G, max_text_len), np.float32)
+        pm[:, :, 1] = 1.0
+        batch.update({
+            'gt_bboxes': jnp.asarray(gt),
+            'gt_masks': jnp.ones((B, G), bool),
+            'positive_maps': jnp.asarray(pm),
+        })
+    return batch
+
+
+def _flagship_model():
+    from proxytransformation_tpu.models.detector import (
+        SparseFeatureFusion3DGrounderPreshape)
+    return SparseFeatureFusion3DGrounderPreshape()  # reference defaults
+
+
+def bench_full_forward(jax, jnp, chained_ms_per_iter, B=2):
+    model = _flagship_model()
+    batch = _flagship_batch(jnp, B)
+    variables = jax.jit(
+        lambda rng, b: model.init(rng, b, mode='predict'))(
+            jax.random.PRNGKey(0), batch)
+    pts = batch['points']
+
+    def step(i, p):
+        b = dict(batch)
+        b['points'] = p
+        out = model.apply(variables, b, mode='predict')
+        return p + 1e-6 * jnp.mean(out['scores_3d'])
+
+    ms = chained_ms_per_iter(step, pts, n_short=1, n_long=3)
+    return B / (ms / 1e3), ms, B
+
+
+def bench_train_step(jax, jnp, chained_ms_per_iter, B=6):
+    from proxytransformation_tpu.engine import (build_optimizer,
+                                                create_train_state,
+                                                make_train_step)
+    model = _flagship_model()
+    batch = _flagship_batch(jnp, B, with_targets=True)
+    variables = jax.jit(
+        lambda rng, b: model.init(rng, b, mode='loss', train=False))(
+            jax.random.PRNGKey(0), batch)
+    tx = build_optimizer(variables['params'])
+    state = create_train_state(model, variables, tx)
+    train_step = make_train_step(model, tx)
+    rng = jax.random.PRNGKey(1)
+
+    def step(i, s):
+        new_s, _ = train_step(s, batch, rng)
+        return new_s
+
+    ms = chained_ms_per_iter(step, state, n_short=1, n_long=3)
+    return B / (ms / 1e3), ms, B
+
+
+def main():
+    import jax
+    from proxytransformation_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    from proxytransformation_tpu.utils.timing import chained_ms_per_iter
+
+    extra = {}
+    preshape_sps, preshape_ms = bench_preshape(jax, jnp,
+                                               chained_ms_per_iter)
+    extra['preshape_fwd_ms_b4'] = round(preshape_ms, 2)
+
+    try:
+        for B in (2, 1):
+            try:
+                sps, ms, used = bench_full_forward(jax, jnp,
+                                                   chained_ms_per_iter, B)
+                extra['full_forward_scenes_per_sec'] = round(sps, 2)
+                extra['full_forward_ms'] = round(ms, 1)
+                extra['full_forward_batch'] = used
+                break
+            except Exception:
+                if B == 1:
+                    raise
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        extra['full_forward_scenes_per_sec'] = None
+
+    try:
+        for B in (6, 2):
+            try:
+                sps, ms, used = bench_train_step(jax, jnp,
+                                                 chained_ms_per_iter, B)
+                extra['train_step_scenes_per_sec'] = round(sps, 2)
+                extra['train_step_ms'] = round(ms, 1)
+                extra['train_step_batch'] = used
+                break
+            except Exception:
+                if B == 2:
+                    raise
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        extra['train_step_scenes_per_sec'] = None
+
+    print(json.dumps(dict({
         'metric': 'proxy_transformation_fwd_scenes_per_sec_per_chip',
-        'value': round(scenes_per_sec, 2),
+        'value': round(preshape_sps, 2),
         'unit': 'scenes/s',
-        'vs_baseline': round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
-    }))
+        'vs_baseline': round(preshape_sps / BASELINE_SCENES_PER_SEC, 3),
+    }, **extra)))
 
 
 if __name__ == '__main__':

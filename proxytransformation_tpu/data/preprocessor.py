@@ -97,13 +97,16 @@ class Det3DDataPreprocessor:
                 S = np.diag([sf[0], sf[1], 1.0, 1.0]).astype(np.float32)
                 proj_mats[b, :v] = S @ proj_mats[b, :v]
 
-        # points: (B, N, 3) + mask
-        points = np.zeros((B, self.n_points, 3), np.float32)
+        # points: (B, N, C) + mask; extra channels beyond xyz (color,
+        # etc.) are carried through so `use_xyz_feat=False` models can
+        # voxelize them as features
+        C = max(np.asarray(s['points']).shape[-1] for s in samples)
+        points = np.zeros((B, self.n_points, C), np.float32)
         points_mask = np.zeros((B, self.n_points), bool)
         for b, s in enumerate(samples):
-            p = np.asarray(s['points'], np.float32)[:, :3]
+            p = np.asarray(s['points'], np.float32)
             n = min(len(p), self.n_points)
-            points[b, :n] = p[:n]
+            points[b, :n, :p.shape[-1]] = p[:n]
             points_mask[b, :n] = True
 
         # gts
@@ -114,6 +117,12 @@ class Det3DDataPreprocessor:
         for b, s in enumerate(samples):
             boxes = np.asarray(s.get('gt_bboxes_3d',
                                      np.zeros((0, 9))), np.float32)
+            if len(boxes) > G:
+                import warnings
+                warnings.warn(
+                    f'sample has {len(boxes)} gt boxes > max_gts={G}; '
+                    'truncating — raise max_gts in the preprocessor '
+                    'config to keep all targets', stacklevel=2)
             g = min(len(boxes), G)
             gt_bboxes[b, :g] = boxes[:g]
             gt_masks[b, :g] = True

@@ -23,8 +23,13 @@ def _ckpt_dir(work_dir: str, step: int) -> str:
 
 
 def save_checkpoint(work_dir: str, state, epoch: int,
-                    max_keep: int = 2) -> str:
-    """Save TrainState (+epoch) and rotate old checkpoints."""
+                    max_keep: int = 2, iteration: int = 0) -> str:
+    """Save TrainState (+epoch, +mid-epoch iteration) and rotate.
+
+    `iteration` > 0 marks a mid-epoch checkpoint: on resume the runner
+    fast-forwards the dataloader past that many consumed batches (the
+    reference's FastResumeIterBasedTrainLoop, runner/loops.py:55-67).
+    """
     import orbax.checkpoint as ocp
     step = int(state.step)
     path = os.path.abspath(_ckpt_dir(work_dir, step))
@@ -35,6 +40,7 @@ def save_checkpoint(work_dir: str, state, epoch: int,
         'opt_state': jax.device_get(state.opt_state),
         'step': np.asarray(step),
         'epoch': np.asarray(epoch),
+        'iteration': np.asarray(iteration),
     }
     ckptr.save(path, payload, force=True)
     # rotate

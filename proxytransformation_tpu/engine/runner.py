@@ -35,7 +35,7 @@ logger = logging.getLogger('proxytransformation_tpu')
 _DEVICE_KEYS = ('imgs', 'points', 'points_mask', 'input_ids', 'text_mask',
                 'proj_mats', 'views_mask', 'gt_bboxes', 'gt_masks',
                 'positive_maps', 'pcd_rotation', 'pcd_scale_factor',
-                'pcd_trans')
+                'pcd_trans', 'pcd_flip_x', 'pcd_flip_y')
 
 
 def build_model_from_cfg(model_cfg: Dict[str, Any]):
@@ -118,6 +118,12 @@ class Runner:
         self.state = None
         self._train_step = None
         self._eval_step = None
+        from ..utils.vis_backend import build_vis_backends
+        self.vis_backends = build_vis_backends(cfg, self.work_dir)
+
+    def _log_scalars(self, scalars, step=None):
+        for be in self.vis_backends:
+            be.add_scalars(scalars, step=step)
 
     @classmethod
     def from_cfg(cls, cfg, work_dir=None) -> 'Runner':
@@ -142,7 +148,30 @@ class Runner:
         host = {k: v for k, v in batch.items() if k not in _DEVICE_KEYS}
         return shard_batch(device, mesh or self.mesh), host
 
-    def _init_state(self, batch):
+    @staticmethod
+    def _pad_batch(batch, batch_size):
+        """Repeat-pad a partial final val batch to the full batch size so
+        array shapes stay static under a multi-device val mesh (the
+        per-sample host lists keep their true length, so padded
+        predictions are never consumed)."""
+        lead = next(v for k, v in batch.items()
+                    if k in _DEVICE_KEYS and hasattr(v, 'shape'))
+        real = lead.shape[0]
+        if real == batch_size:
+            return batch, real
+        pad = batch_size - real
+        out = {}
+        for k, v in batch.items():
+            if k in _DEVICE_KEYS and hasattr(v, 'shape') and v.ndim >= 1:
+                reps = np.concatenate(
+                    [np.asarray(v),
+                     np.repeat(np.asarray(v)[-1:], pad, axis=0)], axis=0)
+                out[k] = reps
+            else:
+                out[k] = v
+        return out, real
+
+    def _init_state(self, batch, mesh=None):
         import optax
         variables = self.model.init(jax.random.PRNGKey(
             self.cfg.get('seed', 0)), batch, mode='loss', train=False)
@@ -168,7 +197,7 @@ class Runner:
             payload = load_checkpoint(load_from)
             state = state.replace(
                 params=warm_start_params(state.params, payload))
-        return replicate(state, self.mesh)
+        return replicate(state, mesh or self.mesh)
 
     # ------------------------------------------------------------------
     def train(self, resume: Optional[str] = None):
@@ -184,6 +213,7 @@ class Runner:
         dev_batch, _ = self._split_batch(first)
         self.state = self._init_state(dev_batch)
         start_epoch = 0
+        start_iter = 0
         if resume:
             path = (latest_checkpoint(self.work_dir)
                     if resume == 'auto' else resume)
@@ -194,24 +224,42 @@ class Runner:
                     restore_state(jax.device_get(self.state), payload),
                     self.mesh)
                 start_epoch = int(payload['epoch'])
+                start_iter = int(payload.get('iteration', 0))
+                if start_iter:
+                    logger.info('fast-resume: skipping %d consumed '
+                                'batches of epoch %d', start_iter,
+                                start_epoch)
 
         step_fn = jax.jit(make_train_step(self.model, self.tx),
                           donate_argnums=(0, ))
         rng = jax.random.PRNGKey(self.cfg.get('seed', 0) + 1)
 
+        ckpt_iters = self.cfg.get('checkpoint_interval_iters')
         for epoch in range(start_epoch, max_epochs):
             loader.set_epoch(epoch)
             t0 = time.time()
             for i, batch in enumerate(loader):
+                if i < start_iter:
+                    continue  # fast-resume: skip consumed batches
+                                # (reference runner/loops.py:55-67)
                 dev_batch, _ = self._split_batch(batch)
                 self.state, metrics = step_fn(self.state, dev_batch, rng)
                 if (i + 1) % log_interval == 0 or i == 0:
                     m = {k: float(v) for k, v in
                          jax.device_get(metrics).items()}
-                    dt = (time.time() - t0) / (i + 1)
+                    dt = (time.time() - t0) / (i + 1 - start_iter)
                     logger.info('epoch %d iter %d/%d %.2fs/it total=%.4f '
                                 'grad=%.2f', epoch, i + 1, len(loader), dt,
                                 m['total_loss'], m['grad_norm'])
+                    self._log_scalars(
+                        dict(m, epoch=epoch, sec_per_iter=dt),
+                        step=epoch * len(loader) + i + 1)
+                if ckpt_iters and (i + 1) % ckpt_iters == 0 \
+                        and i + 1 < len(loader):
+                    save_checkpoint(self.work_dir,
+                                    jax.device_get(self.state),
+                                    epoch, max_keep, iteration=i + 1)
+            start_iter = 0
             save_checkpoint(self.work_dir, jax.device_get(self.state),
                             epoch + 1, max_keep)
             if (epoch + 1) % val_interval == 0:
@@ -219,7 +267,55 @@ class Runner:
         return self.state
 
     # ------------------------------------------------------------------
-    def val(self, resume: Optional[str] = None, init_state: bool = True):
+    def _tta_metas(self):
+        """Enumerate TTA variants like MultiScaleFlipAug3D (reference
+        datasets/transforms/test_time_aug.py:13-119)."""
+        tta_cfg = self.cfg.get('tta_cfg', {})
+        scales = tta_cfg.get('pts_scale_ratio', [1.0])
+        if isinstance(scales, (int, float)):
+            scales = [scales]
+        flip = tta_cfg.get('flip', True)
+        directions = tta_cfg.get('flip_direction', ['horizontal'])
+        if isinstance(directions, str):
+            directions = [directions]
+        metas = []
+        for s in scales:
+            for do_flip in ([False, True] if flip else [False]):
+                for d in (directions if do_flip else ['horizontal']):
+                    metas.append({
+                        'pcd_scale_factor': float(s),
+                        'pcd_horizontal_flip': do_flip
+                        and d == 'horizontal',
+                        'pcd_vertical_flip': do_flip and d == 'vertical',
+                    })
+        return metas
+
+    @staticmethod
+    def _apply_tta_aug(batch, meta):
+        """Augmented copy of a collated batch + the aug flags the
+        painting inverse-replay consumes (detector aug_test semantics,
+        reference sparse_featfusion_grounder_preshape.py:1031-1074)."""
+        out = dict(batch)
+        pts = np.array(batch['points'], np.float32, copy=True)
+        if meta['pcd_horizontal_flip']:
+            pts[..., 0] *= -1
+        if meta['pcd_vertical_flip']:
+            pts[..., 1] *= -1
+        s = meta.get('pcd_scale_factor', 1.0)
+        if s != 1.0:
+            pts[..., :3] *= s
+        out['points'] = pts
+        B = pts.shape[0]
+        out['pcd_flip_x'] = np.full((B, ), meta['pcd_horizontal_flip'])
+        out['pcd_flip_y'] = np.full((B, ), meta['pcd_vertical_flip'])
+        base = np.asarray(batch.get('pcd_scale_factor',
+                                    np.ones((B, 1), np.float32)),
+                          np.float32)
+        out['pcd_scale_factor'] = base * s
+        return out
+
+    def val(self, resume: Optional[str] = None, init_state: bool = True,
+            tta: bool = False):
         loader_cfg = self.cfg.get('val_dataloader') \
             or self.cfg.get('test_dataloader')
         loader = self._build_loader(loader_cfg, train=False)
@@ -229,34 +325,60 @@ class Runner:
         metric_cfg.pop('type', None)
         metric = GroundingMetric(**metric_cfg)
 
+        bs = loader_cfg.get('batch_size', 1)
         if init_state or self.state is None:
             first = next(iter(loader))
-            dev_batch, _ = self._split_batch(first, self.val_mesh)
-            self.state = self._init_state(dev_batch)
+            dev_batch, _ = self._split_batch(
+                self._pad_batch(first, bs)[0], self.val_mesh)
+            self.state = self._init_state(dev_batch, self.val_mesh)
             if resume:
                 payload = load_checkpoint(resume)
                 self.state = replicate(restore_state(
-                    jax.device_get(self.state), payload), self.mesh)
+                    jax.device_get(self.state), payload), self.val_mesh)
+            else:
+                logger.warning(
+                    'val() is scoring freshly-initialized random weights '
+                    '(no checkpoint given) — pass resume=CKPT or call '
+                    'after train() for a meaningful metric')
 
         eval_fn = jax.jit(make_eval_step(self.model))
+        aug_metas = self._tta_metas() if tta else [None]
         for batch in loader:
-            dev_batch, host = self._split_batch(batch, self.val_mesh)
-            out = jax.device_get(eval_fn(self.state, dev_batch))
+            batch, _ = self._pad_batch(batch, bs)
+            outs = []
+            host = None
+            for meta in aug_metas:
+                aug = batch if meta is None else self._apply_tta_aug(
+                    batch, meta)
+                dev_batch, host = self._split_batch(aug, self.val_mesh)
+                outs.append(jax.device_get(eval_fn(self.state, dev_batch)))
             for b, ann in enumerate(host['eval_ann_info']):
+                if tta:
+                    from ..models.tta import merge_aug_bboxes_3d
+                    merged = merge_aug_bboxes_3d(
+                        [{'bboxes_3d': o['bboxes_3d'][b],
+                          'scores_3d': o['scores_3d'][b]} for o in outs],
+                        aug_metas)
+                    pred = {'bboxes_3d': merged['bboxes_3d'],
+                            'scores_3d': merged['scores_3d'],
+                            'target_scores_3d': merged['scores_3d']}
+                else:
+                    out = outs[0]
+                    pred = {'bboxes_3d': out['bboxes_3d'][b],
+                            'scores_3d': out['scores_3d'][b],
+                            'target_scores_3d': out['scores_3d'][b]}
                 metric.process(None, [{
                     'eval_ann_info': ann,
-                    'pred_instances_3d': {
-                        'bboxes_3d': out['bboxes_3d'][b],
-                        'scores_3d': out['scores_3d'][b],
-                        'target_scores_3d': out['scores_3d'][b],
-                    },
+                    'pred_instances_3d': pred,
                 }])
         results = metric.evaluate()
         logger.info('val results: %s',
                     {k: round(v, 4) for k, v in results.items()})
+        if results:
+            self._log_scalars({f'val/{k}': v for k, v in results.items()})
         with open(os.path.join(self.work_dir, 'val_results.json'), 'w') as f:
             json.dump(results, f)
         return results
 
-    def test(self, resume: Optional[str] = None):
-        return self.val(resume=resume)
+    def test(self, resume: Optional[str] = None, tta: bool = False):
+        return self.val(resume=resume, tta=tta)

@@ -117,6 +117,10 @@ class GroundingMetric:
         return ground_eval(annotations, preds, self.iou_thr, self.top_k)
 
     def evaluate(self, *_args, **_kw) -> Dict[str, float]:
-        ret = self.compute_metrics()
+        # multi-host: gather every host's per-sample results first, as
+        # the reference's collect_device='cpu' does (reference
+        # eval/metrics/grounding_metric.py:43-44); no-op on one host
+        from ..parallel import allgather_objects
+        ret = self.compute_metrics(allgather_objects(self.results))
         self.results = []
         return ret

@@ -57,7 +57,11 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
     img_base_channels: int = 16
     img_depth: int = 50
 
-    # text encoder (clip-vit-large-patch14-336 text tower)
+    # text encoder — t_type selects the tower family as in the reference
+    # (:131-277); 'clip' builds CLIPTextEncoder from the explicit
+    # width/layers/heads below, anything else goes through
+    # text_variants.build_text_encoder
+    t_type: str = 'clip'
     text_width: int = 768
     text_layers: int = 12
     text_heads: int = 12
@@ -88,9 +92,13 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
     def setup(self):
         self.backbone = ResNet(depth=self.img_depth,
                                base_channels=self.img_base_channels)
-        self.text_encoder = CLIPTextEncoder(width=self.text_width,
-                                            layers=self.text_layers,
-                                            heads=self.text_heads)
+        if self.t_type == 'clip':
+            self.text_encoder = CLIPTextEncoder(width=self.text_width,
+                                                layers=self.text_layers,
+                                                heads=self.text_heads)
+        else:
+            from .text_variants import build_text_encoder
+            self.text_encoder, _ = build_text_encoder(self.t_type)
         self.text_feat_map = nn.Dense(self.embed_dims)
         self.preshape = ProxyTransformationNormReverse(
             embed_dim=self.embed_dims, num_heads=self.num_heads,
@@ -136,14 +144,25 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
         ]  # NHWC per level
 
         # preshape the cloud with text + deepest image level (:385)
+        xyz = batch['points'][..., :3]
         if self.use_preshape:
             points, points_mask = self.preshape(
-                batch['points'], batch['points_mask'], text_feats,
+                xyz, batch['points_mask'], text_feats,
                 batch['text_mask'], img_feats[-1], train=train)
         else:
-            points, points_mask = batch['points'], batch['points_mask']
+            points, points_mask = xyz, batch['points_mask']
 
-        feats = points if self.use_xyz_feat else batch['points'][..., 3:]
+        if self.use_xyz_feat:
+            feats = points
+        else:
+            # voxel features = the non-xyz point channels (e.g. color);
+            # requires the preprocessor to have kept them
+            if batch['points'].shape[-1] <= 3:
+                raise ValueError(
+                    'use_xyz_feat=False needs points with >3 channels '
+                    f'(got {batch["points"].shape[-1]}); keep color '
+                    'channels in the pipeline or set use_xyz_feat=True')
+            feats = batch['points'][..., 3:]
         lvl0 = voxelize_points(points, points_mask, feats,
                                voxel_size=self.voxel_size,
                                capacity=self.n_points,
@@ -159,7 +178,9 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
                 xyz,
                 batch.get('pcd_rotation'),
                 batch.get('pcd_scale_factor'),
-                batch.get('pcd_trans'))
+                batch.get('pcd_trans'),
+                batch.get('pcd_flip_x'),
+                batch.get('pcd_flip_y'))
             feat2d = jax.vmap(
                 lambda imf, p, proj, vm, vmask: batch_point_sample(
                     imf, p, proj, (H, W),

@@ -17,10 +17,11 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.hungarian import hungarian_assign_dp
+from ..ops.box3d_overlap import box3d_iou_aligned
+from ..ops.hungarian import hungarian_assign
 from ..structures.rotation import ortho_6d_to_matrix, matrix_to_euler_angles
 from ..utils.registry import MODELS
-from .losses import (binary_focal_cost, bbox_l1_cost, iou3d_cost,
+from .losses import (binary_focal_cost, bbox_l1_cost,
                      chamfer_corner_loss, sigmoid_focal_loss)
 
 _NEG_BIAS = float(-np.log((1 - 0.01) / 0.01))  # -4.595
@@ -187,16 +188,15 @@ class GroundingHead(nn.Module):
         num_gts = jnp.sum(gt_masks, axis=1).astype(jnp.int32)
 
         # ---- Hungarian assignment (no grad) ----
-        # The exact-IoU cost is computed in ONE flat (B·Q, B·G) call and
-        # block-diagonally sliced: the per-sample vmapped variant triggers
-        # a libtpu AOT compiler segfault when inlined into the full loss
-        # graph (bisected; standalone it compiles fine).
+        # Exact IoU only over the per-sample (Q, G) pairs, via ONE flat
+        # elementwise vmap over B·Q·G broadcast pairs. (A per-sample
+        # nested-vmap variant triggered a libtpu AOT compiler segfault
+        # when inlined into the full loss graph; the single flat vmap
+        # compiles fine and does no cross-sample work.)
         pred_sg = jax.lax.stop_gradient(pred_bboxes)
         G = gt_bboxes.shape[1]
-        iou_flat = -iou3d_cost(pred_sg.reshape(B * Q, 9),
-                               gt_bboxes.reshape(B * G, 9))  # IoU (BQ, BG)
-        iou_diag = iou_flat.reshape(B, Q, B, G)
-        iou_bqg = jnp.einsum('bqbg->bqg', iou_diag)
+        iou_bqg = box3d_iou_aligned(pred_sg[:, :, None, :],
+                                    gt_bboxes[:, None, :, :])  # (B, Q, G)
 
         def costs(scores_b, boxes_b, gts_b, maps_b, tmask_b, gmask_b,
                   iou_b):
@@ -215,7 +215,7 @@ class GroundingHead(nn.Module):
             text_token_mask, gt_masks, iou_bqg)
         if query_mask is not None:
             cost = jnp.where(query_mask[:, :, None], cost, 1e6)
-        assign = hungarian_assign_dp(cost, num_gts)  # (B, Q), -1 unassigned
+        assign = hungarian_assign(cost, num_gts)  # (B, Q), -1 unassigned
 
         pos = assign >= 0  # (B, Q)
         safe_assign = jnp.where(pos, assign, 0)

@@ -171,8 +171,18 @@ class ProxyAttention(nn.Module):
     def __call__(self, x, proxy, mask=None, deterministic: bool = True):
         b, n, c = x.shape
         real_n = int(self.num_cluster * (1 - self.dynamic_drop_radio))
-        assert n == real_n, (n, real_n)
-        s = int(c ** 0.5)
+        if n != real_n:
+            raise ValueError(
+                f'ProxyAttention got {n} cluster tokens, but num_cluster'
+                f'*(1-dynamic_drop_radio) = {self.num_cluster}*'
+                f'(1-{self.dynamic_drop_radio}) = {real_n}; pass the '
+                'same num_cluster/dynamic_drop_radio the dropout used')
+        s = int(round(c ** 0.5))
+        if s * s != c:
+            raise ValueError(
+                'ProxyAttention embed_dim must be a perfect square (the '
+                'pc/pr biases factor as s x s with s = sqrt(dim), '
+                f'reference :199-216); got {c} — use e.g. 256')
         nh = self.num_heads
         hd = c // nh
 
@@ -304,8 +314,14 @@ class ProxyTransformationNormReverse(nn.Module):
                                   radius=self.radius, points_mask=mask)
         return new_centers, cluster, idx
 
-    def _dynamic_dropout(self, cluster, center, idx):
-        """Drop emptiest clusters, then FPS-selected ones (reference :352-420)."""
+    def _dynamic_dropout(self, cluster, center, idx, train=False):
+        """Drop emptiest clusters, then FPS-selected ones (reference :352-420).
+
+        With `rngs={'fps': key}` at apply time (train only), the FPS
+        start point is random per sample — pytorch3d's
+        `sample_farthest_points` default, which the reference inherits
+        at :393; without it the start is deterministic (the reference's
+        own naive-FPS oracle semantics)."""
         B, M, K, _ = cluster.shape
         pad_counts = jnp.sum(idx == -1, axis=2)  # (B, M)
         temp_keep = M - int(M * self.empty_drop)
@@ -318,7 +334,10 @@ class ProxyTransformationNormReverse(nn.Module):
         num_keep = int(M * (1 - self.dynamic_drop_radio))
         num_drop = temp_keep - num_keep
         # FPS selects the *dropped* clusters (faithful to reference :393)
-        _, fps_drop = sample_farthest_points(center1, K=num_drop)
+        fps_rng = (self.make_rng('fps')
+                   if train and self.has_rng('fps') else None)
+        _, fps_drop = sample_farthest_points(center1, K=num_drop,
+                                             rng=fps_rng)
         keep_mask = jnp.ones((B, temp_keep), bool)
         keep_mask = jax.vmap(lambda m, d: m.at[d].set(False))(keep_mask,
                                                               fps_drop)
@@ -367,8 +386,8 @@ class ProxyTransformationNormReverse(nn.Module):
         det = not train
         center, cluster, idx = self._deformable_cluster(points, points_mask,
                                                         train)
-        cluster, center, idx, drop_idx = self._dynamic_dropout(cluster,
-                                                               center, idx)
+        cluster, center, idx, drop_idx = self._dynamic_dropout(
+            cluster, center, idx, train)
         b, m, k, _ = cluster.shape
 
         point_proxy = SimplifiedPointNet(self.embed_dim,

@@ -138,3 +138,28 @@ def box3d_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
     v2 = jnp.prod(jnp.abs(boxes2[:, 3:6]), axis=-1)
     union = v1[:, None] + v2[None, :] - inter
     return jnp.clip(inter / jnp.maximum(union, 1e-8), 0.0, 1.0)
+
+
+def box3d_iou_aligned(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+                      eps: float = 1e-4) -> jnp.ndarray:
+    """Elementwise exact IoU: (..., 9) × (..., 9) → (...).
+
+    One intersection-volume evaluation per aligned pair — use this when
+    the pairing is already known (e.g. the per-sample (B, Q, G) cost in
+    the Hungarian matcher) instead of the all-pairs `box3d_iou`, which
+    would waste a B× factor on cross-sample pairs
+    (reference IoU3DCost: models/losses/match_cost.py:102-113 computes
+    per-sample (Q, G) blocks only).
+    """
+    shape = jnp.broadcast_shapes(boxes1.shape[:-1], boxes2.shape[:-1])
+    flat1 = jnp.broadcast_to(boxes1, shape + (9, )).reshape(-1, 9)
+    flat1 = flat1.astype(jnp.float32)
+    flat2 = jnp.broadcast_to(boxes2, shape + (9, )).reshape(-1, 9)
+    flat2 = flat2.astype(jnp.float32)
+    inter = jax.vmap(lambda a, b: _pair_intersection_volume(a, b, eps))(
+        flat1, flat2)
+    v1 = jnp.prod(jnp.abs(flat1[:, 3:6]), axis=-1)
+    v2 = jnp.prod(jnp.abs(flat2[:, 3:6]), axis=-1)
+    union = v1 + v2 - inter
+    iou = jnp.clip(inter / jnp.maximum(union, 1e-8), 0.0, 1.0)
+    return iou.reshape(shape)

@@ -23,11 +23,19 @@ from .common import masked_gather
 
 
 @partial(jax.jit, static_argnames=('K', ))
-def _fps_idx(points: jnp.ndarray, mask: jnp.ndarray, K: int) -> jnp.ndarray:
+def _fps_idx(points: jnp.ndarray, mask: jnp.ndarray, K: int,
+             rng=None) -> jnp.ndarray:
     B, P, _ = points.shape
-    # Start at the first valid point (index 0 when fully valid, matching
-    # the reference oracle with random_start_point=False).
-    start = jnp.argmax(mask, axis=1).astype(jnp.int32)  # (B,)
+    if rng is None:
+        # Start at the first valid point (index 0 when fully valid,
+        # matching the reference oracle with random_start_point=False).
+        start = jnp.argmax(mask, axis=1).astype(jnp.int32)  # (B,)
+    else:
+        # pytorch3d's default random start (sample_farthest_points
+        # random_start_point=True): uniform over valid points
+        g = jax.random.gumbel(rng, (B, P))
+        start = jnp.argmax(jnp.where(mask, g, -jnp.inf),
+                           axis=1).astype(jnp.int32)
 
     out = jnp.full((B, K), -1, jnp.int32).at[:, 0].set(start)
     closest = jnp.where(mask, jnp.inf, -jnp.inf)  # (B, P)
@@ -49,7 +57,8 @@ def _fps_idx(points: jnp.ndarray, mask: jnp.ndarray, K: int) -> jnp.ndarray:
 def sample_farthest_points(
         points: jnp.ndarray,
         K: int,
-        mask: Optional[jnp.ndarray] = None
+        mask: Optional[jnp.ndarray] = None,
+        rng: Optional[jnp.ndarray] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Farthest point sampling on padded clouds.
 
@@ -57,6 +66,9 @@ def sample_farthest_points(
         points: (B, P, 3).
         K: number of samples (static).
         mask: optional (B, P) validity mask.
+        rng: optional PRNG key for a random start point (pytorch3d's
+            train-time default); deterministic first-valid start when
+            None (the reference oracle's random_start_point=False).
 
     Returns:
         sampled: (B, K, 3) selected points.
@@ -64,5 +76,5 @@ def sample_farthest_points(
     """
     if mask is None:
         mask = jnp.ones(points.shape[:2], bool)
-    idx = _fps_idx(points.astype(jnp.float32), mask, K)
+    idx = _fps_idx(points.astype(jnp.float32), mask, K, rng)
     return masked_gather(points, idx), idx

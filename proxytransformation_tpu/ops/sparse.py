@@ -305,7 +305,9 @@ def sparse_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
     through the XLA formulation (custom_vjp below).
     """
     if (self_map and nbr.shape[-1] > 1
-            and jax.default_backend() == 'tpu'):
+            and jax.default_backend() not in ('cpu', )):
+        # non-CPU == the TPU here (the axon plugin reports its own
+        # platform name, so match ball_query.py's backend check)
         return _sparse_conv_pallas_ad(feats, nbr, weights, out_mask)
     return sparse_conv_apply(feats, nbr, weights, out_mask)
 

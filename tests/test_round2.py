@@ -1,0 +1,220 @@
+"""Round-2 regression tests: JV assignment, aligned IoU, multi-host
+gather, TTA plumbing, preprocessor contracts, FPS random start."""
+import warnings
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Jonker-Volgenant device assignment (>14 gts)
+# ---------------------------------------------------------------------------
+def test_jv_matches_scipy_large_g():
+    from proxytransformation_tpu.ops.hungarian import (hungarian_assign,
+                                                       _lsa_host)
+    rng = np.random.RandomState(3)
+    B, Q, G = 4, 48, 22  # > 14 → auto-dispatches to JV
+    cost = rng.randn(B, Q, G).astype(np.float32) * 10
+    num_g = np.array([22, 0, 7, 15], np.int32)
+    out = np.asarray(hungarian_assign(jnp.asarray(cost),
+                                      jnp.asarray(num_g)))
+    ref = _lsa_host(cost, num_g)
+    for b in range(B):
+        assert (out[b] >= 0).sum() == num_g[b]
+        picked = out[b][out[b] >= 0]
+        assert len(set(picked.tolist())) == len(picked)
+        c_out = sum(cost[b, q, out[b, q]] for q in range(Q)
+                    if out[b, q] >= 0)
+        c_ref = sum(cost[b, q, ref[b, q]] for q in range(Q)
+                    if ref[b, q] >= 0)
+        assert abs(c_out - c_ref) < 1e-3
+
+
+def test_jv_agrees_with_dp_small_g():
+    from proxytransformation_tpu.ops.hungarian import (hungarian_assign_dp,
+                                                       hungarian_assign_jv)
+    rng = np.random.RandomState(4)
+    cost = rng.randn(3, 20, 6).astype(np.float32)
+    num_g = np.array([6, 3, 1], np.int32)
+    dp = np.asarray(hungarian_assign_dp(jnp.asarray(cost),
+                                        jnp.asarray(num_g)))
+    jv = np.asarray(hungarian_assign_jv(jnp.asarray(cost),
+                                        jnp.asarray(num_g)))
+    for b in range(3):
+        c_dp = sum(cost[b, q, dp[b, q]] for q in range(20) if dp[b, q] >= 0)
+        c_jv = sum(cost[b, q, jv[b, q]] for q in range(20) if jv[b, q] >= 0)
+        assert abs(c_dp - c_jv) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# aligned (elementwise) exact IoU
+# ---------------------------------------------------------------------------
+def test_box3d_iou_aligned_matches_pairwise_diag():
+    from proxytransformation_tpu.ops.box3d_overlap import (box3d_iou,
+                                                           box3d_iou_aligned)
+    rng = np.random.RandomState(5)
+    n = 6
+    boxes1 = np.concatenate([rng.uniform(-1, 1, (n, 3)),
+                             rng.uniform(0.5, 2, (n, 3)),
+                             rng.uniform(-0.5, 0.5, (n, 3))],
+                            -1).astype(np.float32)
+    boxes2 = boxes1 + rng.uniform(-0.2, 0.2, (n, 9)).astype(np.float32)
+    full = np.asarray(box3d_iou(jnp.asarray(boxes1), jnp.asarray(boxes2)))
+    aligned = np.asarray(box3d_iou_aligned(jnp.asarray(boxes1),
+                                           jnp.asarray(boxes2)))
+    np.testing.assert_allclose(aligned, np.diag(full), atol=1e-4)
+    # broadcasting form used by the matcher: (B, Q, 1) × (B, 1, G)
+    b1 = jnp.asarray(boxes1).reshape(2, 3, 1, 9)
+    b2 = jnp.asarray(boxes2).reshape(2, 1, 3, 9)
+    grid = np.asarray(box3d_iou_aligned(b1, b2))
+    assert grid.shape == (2, 3, 3)
+    for s in range(2):
+        blk = np.asarray(box3d_iou(jnp.asarray(boxes1[3 * s:3 * s + 3]),
+                                   jnp.asarray(boxes2[3 * s:3 * s + 3])))
+        np.testing.assert_allclose(grid[s], blk, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# multi-host gather (single-host no-op + pack/unpack round trip)
+# ---------------------------------------------------------------------------
+def test_allgather_objects_single_host():
+    from proxytransformation_tpu.parallel import (allgather_objects,
+                                                  pack_objects,
+                                                  unpack_objects)
+    objs = [{'a': np.arange(3), 'flag': True}, {'b': 'text'}]
+    out = allgather_objects(objs)
+    assert len(out) == 2 and out[1]['b'] == 'text'
+    buf = pack_objects(objs)
+    padded = np.concatenate([buf, np.zeros(17, np.uint8)])
+    back = unpack_objects(padded, buf.size)
+    assert back[1]['b'] == 'text'
+    np.testing.assert_array_equal(back[0]['a'], np.arange(3))
+
+
+# ---------------------------------------------------------------------------
+# TTA plumbing
+# ---------------------------------------------------------------------------
+def test_tta_metas_and_apply():
+    from proxytransformation_tpu.engine.runner import Runner
+    metas = Runner._tta_metas.__get__(
+        type('R', (), {'cfg': {'tta_cfg': {'flip': True,
+                                           'pts_scale_ratio': [1.0, 1.1]}}})())
+    metas = metas()
+    assert len(metas) == 4  # 2 scales × (no-flip, hflip)
+    batch = {'points': np.ones((2, 5, 3), np.float32),
+             'points_mask': np.ones((2, 5), bool)}
+    aug = Runner._apply_tta_aug(batch, metas[1])  # hflip @ scale 1.0
+    assert aug['points'][0, 0, 0] == -1.0
+    assert aug['points'][0, 0, 1] == 1.0
+    assert aug['pcd_flip_x'].all() and not aug['pcd_flip_y'].any()
+    # scale variant
+    aug2 = Runner._apply_tta_aug(batch, metas[2])  # scale 1.1 no flip
+    np.testing.assert_allclose(aug2['points'][..., :3], 1.1, atol=1e-6)
+
+
+def test_tta_merge_improves_on_flipped_prediction():
+    """A prediction made in the flipped frame maps back onto the gt."""
+    from proxytransformation_tpu.models.tta import merge_aug_bboxes_3d
+    gt = np.array([[1.0, 2.0, 0.5, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0]])
+    flipped_pred = gt.copy()
+    flipped_pred[0, 0] *= -1  # the model predicted in the x-flipped frame
+    merged = merge_aug_bboxes_3d(
+        [{'bboxes_3d': np.zeros((1, 9)), 'scores_3d': np.array([0.1])},
+         {'bboxes_3d': flipped_pred, 'scores_3d': np.array([0.9])}],
+        [{'pcd_horizontal_flip': False, 'pcd_vertical_flip': False},
+         {'pcd_horizontal_flip': True, 'pcd_vertical_flip': False}])
+    np.testing.assert_allclose(merged['bboxes_3d'][0, :3], gt[0, :3],
+                               atol=1e-5)
+    assert merged['scores_3d'][0] == 0.9
+
+
+# ---------------------------------------------------------------------------
+# preprocessor contracts
+# ---------------------------------------------------------------------------
+def _mini_sample(n_boxes=1, point_channels=3):
+    rng = np.random.RandomState(0)
+    return {
+        'imgs': rng.randint(0, 255, (1, 32, 32, 3)).astype(np.float32),
+        'points': rng.randn(50, point_channels).astype(np.float32),
+        'text': 'the red chair',
+        'gt_bboxes_3d': np.tile(
+            np.array([[0, 0, 0, 1, 1, 1, 0, 0, 0]], np.float32),
+            (n_boxes, 1)),
+    }
+
+
+def test_preprocessor_warns_on_gt_truncation():
+    from proxytransformation_tpu.data.preprocessor import (
+        Det3DDataPreprocessor)
+    pp = Det3DDataPreprocessor(n_points=64, n_views=1, max_gts=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        batch = pp([_mini_sample(n_boxes=5)])
+    assert any('max_gts' in str(x.message) for x in w)
+    assert batch['gt_bboxes'].shape[1] == 2
+
+
+def test_preprocessor_keeps_color_channels():
+    from proxytransformation_tpu.data.preprocessor import (
+        Det3DDataPreprocessor)
+    pp = Det3DDataPreprocessor(n_points=64, n_views=1)
+    batch = pp([_mini_sample(point_channels=6)])
+    assert batch['points'].shape[-1] == 6
+
+
+def test_use_xyz_feat_false_raises_cleanly_without_colors():
+    from proxytransformation_tpu.models.detector import (
+        SparseFeatureFusion3DGrounderPreshape)
+    model = SparseFeatureFusion3DGrounderPreshape(
+        num_queries=4, n_points=128, use_xyz_feat=False, use_preshape=False,
+        img_base_channels=4, text_width=32, text_layers=1, text_heads=2,
+        grid_size=2, text_blocks=1, img_blocks=1, backbone3d_depth=18,
+        sparse_capacities=(128, 64, 32, 16, 8, 4), voxel_extent=(32, 32, 32),
+        neck_out_channels=16, pts_prune_threshold=8, decoder_layers=1,
+        embed_dims=16, num_heads=2, ffn_channels=32, img_spacial_dim=2,
+        max_text_len=16)
+    rng = np.random.RandomState(0)
+    batch = {
+        'imgs': jnp.asarray(rng.randn(1, 1, 32, 32, 3), jnp.float32),
+        'points': jnp.asarray(rng.uniform(0, 1, (1, 128, 3)), jnp.float32),
+        'points_mask': jnp.ones((1, 128), bool),
+        'input_ids': jnp.zeros((1, 4), jnp.int32),
+        'text_mask': jnp.ones((1, 4), bool),
+        'proj_mats': jnp.tile(jnp.eye(4), (1, 1, 1, 1)),
+        'views_mask': jnp.ones((1, 1), bool),
+    }
+    with pytest.raises(ValueError, match='use_xyz_feat'):
+        model.init(jax.random.PRNGKey(0), batch, mode='predict')
+
+
+# ---------------------------------------------------------------------------
+# FPS random start
+# ---------------------------------------------------------------------------
+def test_fps_random_start_option():
+    from proxytransformation_tpu.ops.fps import sample_farthest_points
+    rng = np.random.RandomState(6)
+    pts = jnp.asarray(rng.randn(2, 40, 3), jnp.float32)
+    _, det1 = sample_farthest_points(pts, K=8)
+    _, det2 = sample_farthest_points(pts, K=8)
+    np.testing.assert_array_equal(np.asarray(det1), np.asarray(det2))
+    assert int(det1[0, 0]) == 0  # deterministic start = first valid
+    _, r1 = sample_farthest_points(pts, K=8, rng=jax.random.PRNGKey(0))
+    _, r2 = sample_farthest_points(pts, K=8, rng=jax.random.PRNGKey(3))
+    assert not np.array_equal(np.asarray(r1), np.asarray(r2))
+    # still a valid sample of distinct indices
+    for b in range(2):
+        assert len(set(np.asarray(r1[b]).tolist())) == 8
+
+
+def test_val_batch_padding():
+    from proxytransformation_tpu.engine.runner import Runner
+    batch = {'points': np.random.randn(3, 10, 3).astype(np.float32),
+             'points_mask': np.ones((3, 10), bool),
+             'eval_ann_info': [1, 2, 3]}
+    padded, real = Runner._pad_batch(batch, 4)
+    assert real == 3
+    assert padded['points'].shape[0] == 4
+    np.testing.assert_array_equal(padded['points'][3], padded['points'][2])
+    assert len(padded['eval_ann_info']) == 3  # host lists untouched

@@ -1,0 +1,100 @@
+"""Tooling tail: line mesh, continuous drawers, 3RScan extractor,
+vis backends."""
+import json
+import os
+import zipfile
+
+import numpy as np
+
+
+def test_line_mesh_geometry(tmp_path):
+    from proxytransformation_tpu.visualization import LineMesh
+    pts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0]], np.float32)
+    lm = LineMesh(pts, radius=0.05, sides=6)
+    # 2 segments × (2 rings × 6 verts)
+    assert lm.vertices.shape == (24, 3)
+    assert lm.triangles.shape == (24, 3)
+    assert lm.vertex_colors.shape == (24, 3)
+    # all vertices lie within radius of their segment
+    assert np.isfinite(lm.vertices).all()
+    out = tmp_path / 'mesh.ply'
+    lm.save_ply(str(out))
+    head = out.read_text().splitlines()
+    assert head[0] == 'ply' and 'element vertex 24' in out.read_text()
+
+
+def test_continuous_drawer_headless(tmp_path):
+    from proxytransformation_tpu.visualization import ContinuousDrawer
+    rng = np.random.RandomState(0)
+    H = W = 16
+    views = []
+    for i in range(3):
+        views.append({
+            'depth': rng.randint(500, 3000, (H, W)).astype(np.float32),
+            'img': rng.randint(0, 255, (H, W, 3)).astype(np.uint8),
+            'intrinsic': np.array([[20, 0, W / 2, 0], [0, 20, H / 2, 0],
+                                   [0, 0, 1, 0], [0, 0, 0, 1]], np.float32),
+            'cam2global': np.eye(4, dtype=np.float32),
+            'visible_instance_ids': [i],
+        })
+    boxes = np.tile(np.array([[0, 0, 1, 1, 1, 1, 0, 0, 0]], np.float32),
+                    (3, 1))
+    d = ContinuousDrawer(views, boxes=boxes, labels=[0, 1, 2],
+                         classes=['a', 'b', 'c'], save_dir=str(tmp_path))
+    s0 = d.step()
+    assert s0['view_index'] == 0
+    assert len(s0['boxes']) == 1  # only instance 0 seen so far
+    s1 = d.step()
+    assert len(s1['boxes']) == 2
+    assert s1['points'].shape[0] > s0['points'].shape[0]  # accumulates
+    s2 = d.step()
+    assert len(s2['boxes']) == 3
+    assert d.step() is None
+
+
+def test_continuous_occupancy_drawer(tmp_path):
+    from proxytransformation_tpu.visualization import (
+        ContinuousOccupancyDrawer)
+    views = [{'occupancy': np.array([[0, 0, 0, 1], [1, 0, 0, 2]])},
+             {'occupancy': np.array([[0, 0, 0, 2], [2, 2, 2, 1]])}]
+    d = ContinuousOccupancyDrawer(views, voxel_size=0.5,
+                                  classes=['x', 'y', 'z'],
+                                  save_dir=str(tmp_path))
+    s0 = d.step()
+    assert s0['points'].shape == (2, 6)
+    s1 = d.step()
+    assert s1['points'].shape == (3, 6)  # one new voxel, one overwritten
+    np.testing.assert_allclose(sorted(s1['points'][:, 0])[-1],
+                               0.5 * 2.5)  # center of (2,2,2)
+
+
+def test_3rscan_extractor(tmp_path):
+    from proxytransformation_tpu.converter import extract_3rscan_images
+    scene = tmp_path / 'scene-abc'
+    scene.mkdir()
+    with zipfile.ZipFile(scene / 'sequence.zip', 'w') as zf:
+        zf.writestr('frame-000000.color.jpg', b'xx')
+        zf.writestr('frame-000000.pose.txt', '1 0 0 0')
+    (tmp_path / 'scene-nozip').mkdir()  # no sequence.zip → skipped
+    done = extract_3rscan_images(str(tmp_path), nproc=1)
+    assert len(done) == 1
+    assert os.path.exists(scene / 'sequence' / 'frame-000000.pose.txt')
+
+
+def test_local_vis_backend(tmp_path):
+    from proxytransformation_tpu.utils.vis_backend import (
+        LocalVisBackend, WandbVisBackend, build_vis_backends)
+    be = LocalVisBackend(str(tmp_path))
+    be.add_scalars({'loss': 1.5}, step=10)
+    be.add_scalars({'loss': 1.2}, step=20)
+    recs = [json.loads(l) for l in
+            (tmp_path / 'scalars.jsonl').read_text().splitlines()]
+    assert recs[1]['loss'] == 1.2 and recs[1]['step'] == 20
+    # wandb not installed → warns, no-ops safely
+    wb = WandbVisBackend(str(tmp_path))
+    wb.add_scalars({'loss': 1.0}, step=1)
+    wb.close()
+    backends = build_vis_backends(
+        {'visualizer': {'vis_backends': [{'type': 'LocalVisBackend'}]}},
+        str(tmp_path))
+    assert len(backends) == 1

@@ -26,6 +26,9 @@ def main():
     enable_compilation_cache()
     cfg = Config.fromfile(args.config)
     cfg.merge_from_dict(Config.parse_cfg_options(args.cfg_options))
+    if cfg.get('jax_platform'):
+        import jax
+        jax.config.update('jax_platforms', cfg['jax_platform'])
 
     import proxytransformation_tpu.models  # noqa: F401
     import proxytransformation_tpu.data  # noqa: F401

@@ -28,6 +28,9 @@ def main():
     enable_compilation_cache()
     cfg = Config.fromfile(args.config)
     cfg.merge_from_dict(Config.parse_cfg_options(args.cfg_options))
+    if cfg.get('jax_platform'):
+        import jax
+        jax.config.update('jax_platforms', cfg['jax_platform'])
     if 'test_dataloader' in cfg:
         cfg['val_dataloader'] = cfg['test_dataloader']
     if 'test_evaluator' in cfg:
@@ -38,7 +41,7 @@ def main():
     from proxytransformation_tpu.engine.runner import Runner
 
     runner = Runner.from_cfg(cfg, args.work_dir)
-    runner.test(resume=args.checkpoint)
+    runner.test(resume=args.checkpoint, tta=args.tta)
 
 
 if __name__ == '__main__':

@@ -45,6 +45,10 @@ def main():
 
     cfg = Config.fromfile(args.config)
     cfg.merge_from_dict(Config.parse_cfg_options(args.cfg_options))
+    if cfg.get('jax_platform'):
+        # e.g. 'cpu' for CI smoke runs (the axon TPU plugin ignores the
+        # JAX_PLATFORMS env var on this image)
+        jax.config.update('jax_platforms', cfg['jax_platform'])
     work_dir = args.work_dir or cfg.get(
         'work_dir', os.path.join('work_dirs', os.path.splitext(
             os.path.basename(args.config))[0]))
