@@ -169,7 +169,10 @@ class MinkResNet(nn.Module):
             planes = 64 * 2 ** i
             new_lvl = downsample_coords(lvl, caps[2 + i])
             nbr_stride3 = build_neighbor_map(lvl, new_lvl, 3, 2)
-            nbr_stride1 = build_neighbor_map(lvl, new_lvl, 1, 2)
+            # the 1×1 stride-2 map is the k3 map's center offset
+            # (kernel_offsets(3) puts (0,0,0) at index 13) — no extra
+            # sort-join needed
+            nbr_stride1 = nbr_stride3[..., 13:14]
             nbr_self = build_neighbor_map(new_lvl, new_lvl, 3, 1)
             for j in range(n_blocks):
                 first = j == 0

@@ -244,18 +244,45 @@ def build_neighbor_map(in_level: SparseLevel, out_level: SparseLevel,
     Built once per (in, out) level pair and shared by every conv on
     that pair — this replaces ME's coordinate-manager kernel maps.
 
-    Returns: (B, V_out, K³) int32.
-    """
-    offs = jnp.asarray(kernel_offsets(kernel_size))  # (K3, 3)
-    # query positions in input-level units
-    base = out_level.coords * stride  # (B, V_out, 3)
-    q = base[:, :, None, :] + offs[None, None, :, :]  # (B, V_out, K3, 3)
-    ext = jnp.asarray(in_level.extent, jnp.int32)
-    ok = jnp.all((q >= 0) & (q < ext), axis=-1)
-    qkeys = jnp.where(ok, linearize(q, in_level.extent), SENTINEL)
+    The z kernel axis is folded out of the sort-join: the kz offsets of
+    one (dx, dy) column are CONSECUTIVE integers in linearized key
+    space, so one lower-bound per column plus kz local candidate reads
+    answers all kz queries — the join sorts V + K²·V_out elements
+    instead of V + K³·V_out (2.8× less sort work for K=3, the dominant
+    cost of this engine on TPU).
 
-    nbr = _batched_lookup(in_level.keys, qkeys.reshape(qkeys.shape[0], -1))
-    nbr = nbr.reshape(qkeys.shape)
+    Returns: (B, V_out, K³) int32 (z fastest, matching kernel_offsets).
+    """
+    B = out_level.keys.shape[0]
+    offs = kernel_offsets(kernel_size)          # (K3, 3), z fastest
+    ks = kernel_size
+    kz = ks
+    k2 = ks * ks
+    offs_xy = jnp.asarray(offs.reshape(k2, kz, 3)[:, 0, :2])  # (K2, 2)
+    zoffs = offs.reshape(k2, kz, 3)[0, :, 2]     # e.g. [-1, 0, 1] / [0, 1]
+
+    base = out_level.coords * stride             # (B, V_out, 3)
+    ex, ey, ez = in_level.extent
+    # one query per (dx, dy) column at the CENTER z (z offset 0 exists
+    # for both odd and even kernels in ME convention)
+    cxy = base[:, :, None, :2] + offs_xy[None, None]   # (B, V_out, K2, 2)
+    zc = base[:, :, None, 2]                           # (B, V_out, K2)
+    xy_ok = jnp.all((cxy >= 0) & (cxy < jnp.asarray((ex, ey))), axis=-1)
+    qc = ((cxy[..., 0] * ey + cxy[..., 1]) * ez + zc).astype(jnp.int32)
+    qc = jnp.where(xy_ok & out_level.mask[:, :, None], qc, SENTINEL)
+
+    im, ic, ip = _batched_lookup_pmz(in_level.keys, qc.reshape(B, -1))
+    by_dz = {-1: im.reshape(qc.shape), 0: ic.reshape(qc.shape),
+             1: ip.reshape(qc.shape)}
+
+    parts = []
+    for j in range(kz):
+        dz = int(zoffs[j])
+        z_j = zc + dz
+        valid = (z_j >= 0) & (z_j < ez)
+        parts.append(jnp.where(valid, by_dz[dz], -1))
+    nbr = jnp.stack(parts, axis=-1)              # (B, V_out, K2, kz)
+    nbr = nbr.reshape(B, base.shape[1], k2 * kz)
     return jnp.where(out_level.mask[:, :, None], nbr, -1)
 
 
@@ -291,6 +318,84 @@ def _batched_lookup(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     return result[:, V:]
 
 
+def _batched_lookup_pmz(keys: jnp.ndarray, queries: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Find q-1, q, q+1 for each query in ONE sort-join, no gathers.
+
+    Answers three consecutive key values per query — exactly the z
+    kernel column of a 3³ neighborhood (z is the fastest-varying axis
+    of the linearized keys, so the column's keys are consecutive ints):
+      * q   : the last key ≤ q (forward scan) equals q;
+      * q-1 : the last key ≤ q equals q-1, OR the SECOND-last key does
+              (when q itself is present) — tracked by a top-2
+              associative scan;
+      * q+1 : the first key > q (reverse cummin) equals q+1.
+    Every step is a sort or an elementwise scan — zero random memory
+    accesses (XLA's TPU gather runs ~50× below HBM speed; measured
+    27 ms for 27·V_out index loads at V=50k, the cost this removes).
+
+    Args:
+        keys: (B, V) int32 sorted ascending, SENTINEL-padded, unique
+            among valid entries.
+        queries: (B, Q) int32, SENTINEL = skip.
+    Returns:
+        (idx_minus, idx_center, idx_plus): (B, Q) int32 each, -1 = miss.
+    """
+    B, V = keys.shape
+    Q = queries.shape[1]
+    INT_MIN = jnp.int32(-2**31 + 1)
+    INT_MAX = SENTINEL
+    vals = jnp.concatenate([keys, queries.astype(jnp.int32)], axis=1)
+    tags = jnp.broadcast_to(
+        jnp.arange(V + Q, dtype=jnp.int32)[None], (B, V + Q))
+    sval, stag = jax.lax.sort((vals, tags), dimension=1, num_keys=2)
+    is_key = stag < V
+
+    # forward: (index, value) of the last TWO keys seen. Keys appear in
+    # increasing index order (the key array is itself sorted), so
+    # "last two seen" == "two largest indices so far".
+    kpos = jnp.where(is_key, stag, -1)
+    kval = jnp.where(is_key, sval, INT_MIN)
+
+    def comb(a, b):
+        p1a, v1a, p2a, v2a = a
+        p1b, v1b, p2b, v2b = b
+        ta = p1a > p1b
+        P1 = jnp.where(ta, p1a, p1b)
+        V1 = jnp.where(ta, v1a, v1b)
+        lo_p = jnp.where(ta, p1b, p1a)   # loser of the top-1 contest
+        lo_v = jnp.where(ta, v1b, v1a)
+        tb = p2a > p2b
+        s_p = jnp.where(tb, p2a, p2b)
+        s_v = jnp.where(tb, v2a, v2b)
+        t2 = lo_p > s_p
+        P2 = jnp.where(t2, lo_p, s_p)
+        V2 = jnp.where(t2, lo_v, s_v)
+        return P1, V1, P2, V2
+
+    p1, v1, p2, v2 = jax.lax.associative_scan(
+        comb, (kpos, kval, jnp.full_like(kpos, -1),
+               jnp.full_like(kval, INT_MIN)), axis=1)
+
+    # reverse: (index, value) of the FIRST key after each position —
+    # among following keys the nearest one has both the min value and
+    # the min index, so two flipped cummins suffice.
+    nval = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(is_key, sval, INT_MAX), axis=1), axis=1), axis=1)
+    nidx = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(is_key, stag, INT_MAX), axis=1), axis=1), axis=1)
+
+    live = (~is_key) & (sval != SENTINEL)
+    r0 = jnp.where(live & (v1 == sval), p1, -1)
+    rm = jnp.where(live & (v1 == sval - 1), p1,
+                   jnp.where(live & (v2 == sval - 1), p2, -1))
+    rp = jnp.where(live & (nval == sval + 1), nidx, -1)
+
+    _, om, oc, op = jax.lax.sort((stag, rm, r0, rp), dimension=1,
+                                 num_keys=1)
+    return om[:, V:], oc[:, V:], op[:, V:]
+
+
 # --------------------------------------------------------------------------
 # compute primitives
 # --------------------------------------------------------------------------
@@ -298,13 +403,19 @@ def sparse_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
                 out_mask: jnp.ndarray, self_map: bool = False) -> jnp.ndarray:
     """Sparse conv with backend dispatch.
 
-    On TPU, stride-1 (self-map) K³>1 convolutions use the Pallas
-    monotone-window gather-GEMM kernel (ops/sparse_conv_pallas.py,
-    measured 1.4-2.3× over the XLA gather-scan at model shapes); strided
-    maps and CPU fall back to the XLA path. Gradients always flow
-    through the XLA formulation (custom_vjp below).
+    On TPU, every K³>1 convolution uses the Pallas monotone-window
+    gather-GEMM kernel (ops/sparse_conv_pallas.py): ANY map produced by
+    `build_neighbor_map` is monotone per offset — output keys are
+    sorted, so each offset's query keys are sorted, so hit indices into
+    the sorted input are non-decreasing (stride only scales the query
+    spacing). Measured 1.6× over the XLA gather-scan on both self and
+    strided model shapes. CPU falls back to the XLA path. Gradients
+    always flow through the XLA formulation (custom_vjp below).
+    `self_map` is kept for callers that want to assert map provenance;
+    it no longer changes the dispatch.
     """
-    if (self_map and nbr.shape[-1] > 1
+    del self_map
+    if (nbr.shape[-1] > 1
             and jax.default_backend() not in ('cpu', )):
         # non-CPU == the TPU here (the axon plugin reports its own
         # platform name, so match ball_query.py's backend check)

@@ -48,7 +48,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ALIGN = 16    # window starts 16-aligned (bf16 sublane tile)
-CHUNK = 512   # input rows per DMA chunk
 NSLOTS = 4    # VMEM ring slots
 AHEAD = 2     # producer runs this many chunks ahead of the consumer
 
@@ -56,8 +55,9 @@ AHEAD = 2     # producer runs this many chunks ahead of the consumer
 _PB, _PT, _PG, _PC, _PCNT, _CONS = range(6)
 
 
-def _make_kernel(tile: int, kg: int, n_og: int):
+def _make_kernel(tile: int, kg: int, n_og: int, chunk: int):
     """Kernel processing `kg` kernel offsets per grid step."""
+    CHUNK = chunk
 
     def _conv_kernel(ulo_ref,     # scalar prefetch: (B, n_tiles) int32
                      nch_ref,     # scalar prefetch: (B, n_tiles) int32
@@ -172,10 +172,12 @@ def _pick_kg(k3: int, c_in: int, c_out: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=('interpret', ))
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'tile', 'chunk'))
 def sparse_conv_gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray,
                             weights: jnp.ndarray, out_mask: jnp.ndarray,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            tile: int = 0, chunk: int = 0) -> jnp.ndarray:
     """Drop-in replacement for ops.sparse.sparse_conv_apply.
 
     Args:
@@ -193,8 +195,13 @@ def sparse_conv_gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray,
     C_out = weights.shape[-1]
     in_dtype = feats.dtype
 
-    # smaller output channels -> bigger tiles (fewer grid steps)
-    tile = 512 if C_out <= 128 else 256
+    # Tuned on v5e (2026-08, tile/chunk scan at stage shapes): small
+    # tiles cut the one-hot gather-matmul FLOPs (∝ tile-window overlap)
+    # while chunk=512 keeps most windows to a single DMA — (256, 512)
+    # measured 4.3× over (512, 512) at V=25k C=64; tiles ≥ 1024 spill in
+    # Mosaic and run ~2× slower despite better window amortization.
+    tile = tile or 256
+    CHUNK = chunk or 512
 
     # Mosaic DMA slices need a 128-aligned minor dim: pad C_in up.
     # (Zero channels contribute nothing; weights padded to match.)
@@ -227,7 +234,7 @@ def sparse_conv_gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray,
 
     grid = (B, n_tiles, n_og)
     out = pl.pallas_call(
-        _make_kernel(tile, kg, n_og),
+        _make_kernel(tile, kg, n_og, CHUNK),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
