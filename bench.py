@@ -55,12 +55,12 @@ def bench_preshape(jax, jnp, chained_ms_per_iter):
         lambda k: model.init(k, pts, mask, text, tmask, img,
                              train=False))(jax.random.PRNGKey(0))
 
-    def step(i, p):
-        out, m = model.apply(variables, p, mask, text, tmask, img,
-                             train=False)
-        return p + 0.0001 * jnp.where(m[..., None], out - p, 0.0)
+    def step(i, state):
+        p, v, im = state
+        out, m = model.apply(v, p, mask, text, tmask, im, train=False)
+        return (p + 0.0001 * jnp.where(m[..., None], out - p, 0.0), v, im)
 
-    ms = chained_ms_per_iter(step, pts)
+    ms = chained_ms_per_iter(step, (pts, variables, img))
     return B / (ms / 1e3), ms
 
 
@@ -108,15 +108,20 @@ def bench_full_forward(jax, jnp, chained_ms_per_iter, B=2):
     variables = jax.jit(
         lambda rng, b: model.init(rng, b, mode='predict'))(
             jax.random.PRNGKey(0), batch)
-    pts = batch['points']
 
-    def step(i, p):
-        b = dict(batch)
-        b['points'] = p
-        out = model.apply(variables, b, mode='predict')
-        return p + 1e-6 * jnp.mean(out['scores_3d'])
+    # thread variables AND the batch through the chain state — anything
+    # the step closes over becomes an HLO constant, and 50+ MB of
+    # embedded images makes the remote compile pathological (observed:
+    # >60 min; the tunnel also 413s on huge uploads)
+    def step(i, state):
+        b, v = state
+        out = model.apply(v, b, mode='predict')
+        b = dict(b)
+        b['points'] = b['points'] + 1e-6 * jnp.mean(out['scores_3d'])
+        return (b, v)
 
-    ms = chained_ms_per_iter(step, pts, n_short=1, n_long=3)
+    ms = chained_ms_per_iter(step, (batch, variables), n_short=1,
+                             n_long=3)
     return B / (ms / 1e3), ms, B
 
 
@@ -134,56 +139,97 @@ def bench_train_step(jax, jnp, chained_ms_per_iter, B=6):
     train_step = make_train_step(model, tx)
     rng = jax.random.PRNGKey(1)
 
-    def step(i, s):
-        new_s, _ = train_step(s, batch, rng)
-        return new_s
+    def step(i, carry):
+        s, b = carry
+        new_s, _ = train_step(s, b, rng)
+        return (new_s, b)
 
-    ms = chained_ms_per_iter(step, state, n_short=1, n_long=3)
+    ms = chained_ms_per_iter(step, (state, batch), n_short=1, n_long=3)
     return B / (ms / 1e3), ms, B
 
 
-def main():
+def _run_stage(stage: str):
+    """Run one measurement in-process and print ONE JSON line."""
     import jax
     from proxytransformation_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import jax.numpy as jnp
     from proxytransformation_tpu.utils.timing import chained_ms_per_iter
 
-    extra = {}
-    preshape_sps, preshape_ms = bench_preshape(jax, jnp,
-                                               chained_ms_per_iter)
-    extra['preshape_fwd_ms_b4'] = round(preshape_ms, 2)
+    if stage == 'preshape':
+        sps, ms = bench_preshape(jax, jnp, chained_ms_per_iter)
+        print(json.dumps({'scenes_per_sec': round(sps, 2),
+                          'ms': round(ms, 2)}))
+        return
+    if stage.startswith('full_forward'):
+        B = int(stage.split(':')[1])
+        sps, ms, used = bench_full_forward(jax, jnp, chained_ms_per_iter,
+                                           B)
+        print(json.dumps({'scenes_per_sec': round(sps, 2),
+                          'ms': round(ms, 1), 'batch': used}))
+        return
+    if stage.startswith('train_step'):
+        B = int(stage.split(':')[1])
+        sps, ms, used = bench_train_step(jax, jnp, chained_ms_per_iter, B)
+        print(json.dumps({'scenes_per_sec': round(sps, 2),
+                          'ms': round(ms, 1), 'batch': used}))
+        return
+    raise ValueError(stage)
 
+
+def _stage_subprocess(stage: str, timeout_s: int):
+    """Run a stage in a subprocess (a hung remote compile must not take
+    the whole benchmark down); returns its parsed JSON or None."""
+    import os
+    import subprocess
     try:
-        for B in (2, 1):
-            try:
-                sps, ms, used = bench_full_forward(jax, jnp,
-                                                   chained_ms_per_iter, B)
-                extra['full_forward_scenes_per_sec'] = round(sps, 2)
-                extra['full_forward_ms'] = round(ms, 1)
-                extra['full_forward_batch'] = used
-                break
-            except Exception:
-                if B == 1:
-                    raise
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--stage', stage],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=timeout_s)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-2000:])
+            return None
+        line = proc.stdout.strip().splitlines()[-1]
+        return json.loads(line)
     except Exception:
         traceback.print_exc(file=sys.stderr)
+        return None
+
+
+def main():
+    if '--stage' in sys.argv:
+        _run_stage(sys.argv[sys.argv.index('--stage') + 1])
+        return
+
+    extra = {}
+    pre = _stage_subprocess('preshape', 2400)
+    preshape_sps = (pre or {}).get('scenes_per_sec', 0.0)
+    if pre:
+        extra['preshape_fwd_ms_b4'] = pre['ms']
+
+    ff = _stage_subprocess('full_forward:2', 3600) \
+        or _stage_subprocess('full_forward:1', 2400)
+    if ff:
+        extra['full_forward_scenes_per_sec'] = ff['scenes_per_sec']
+        extra['full_forward_ms'] = ff['ms']
+        extra['full_forward_batch'] = ff['batch']
+    else:
         extra['full_forward_scenes_per_sec'] = None
 
-    try:
-        for B in (6, 2):
-            try:
-                sps, ms, used = bench_train_step(jax, jnp,
-                                                 chained_ms_per_iter, B)
-                extra['train_step_scenes_per_sec'] = round(sps, 2)
-                extra['train_step_ms'] = round(ms, 1)
-                extra['train_step_batch'] = used
-                break
-            except Exception:
-                if B == 2:
-                    raise
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
+    # B=6 (the reference per-GPU batch) currently OOM-kills the remote
+    # XLA compile helper (HTTP 500 SIGKILL after ~25 min); opt in via
+    # BENCH_TRY_B6=1 — the recorded metric uses B=2 until remat lands
+    import os as _os
+    ts = None
+    if _os.environ.get('BENCH_TRY_B6'):
+        ts = _stage_subprocess('train_step:6', 3600)
+    ts = ts or _stage_subprocess('train_step:2', 3600)
+    if ts:
+        extra['train_step_scenes_per_sec'] = ts['scenes_per_sec']
+        extra['train_step_ms'] = ts['ms']
+        extra['train_step_batch'] = ts['batch']
+    else:
         extra['train_step_scenes_per_sec'] = None
 
     print(json.dumps(dict({

@@ -92,3 +92,136 @@ class EmbodiedScanExplorer:
         ])
         pts = np.concatenate([idx, colors], -1)
         return self.visualizer.visualize_scene(pts, name=name)
+
+    # ------------------------------------------------------------------
+    # listing helpers (reference explorer.py:133-203)
+    def list_categories(self) -> List[Dict]:
+        """All categories with their label ids, sorted by id."""
+        return [{'category': k, 'id': v}
+                for k, v in sorted(self.cat2label.items(),
+                                   key=lambda kv: kv[1])]
+
+    def _find(self, scene_id: str) -> Optional[dict]:
+        for d in self.data:
+            if d.get('sample_idx') == scene_id:
+                return d
+        return None
+
+    def list_cameras(self, scene_id: str) -> Optional[List[str]]:
+        """Camera/frame names of one scene (from its image paths)."""
+        d = self._find(scene_id)
+        if d is None:
+            return None
+        import os
+        return [os.path.splitext(os.path.basename(
+            im.get('img_path', str(i))))[0]
+            for i, im in enumerate(d.get('images', []))]
+
+    def list_instances(self, scene_id: str) -> Optional[List[Dict]]:
+        """Per-instance 9-DoF box + category of one scene."""
+        d = self._find(scene_id)
+        if d is None:
+            return None
+        return [{
+            'bbox_3d': np.asarray(inst['bbox_3d'], np.float32),
+            'name': self.label2cat.get(inst.get('bbox_label_3d'), '?'),
+        } for inst in d.get('instances', [])]
+
+    # ------------------------------------------------------------------
+    # continuous rendering (reference explorer.py:278-384), via the
+    # step-through drawers; headless by default
+    def render_continuous_scene(self, scene_id: str,
+                                depth_reader=None,
+                                img_reader=None,
+                                start_cam: Optional[str] = None,
+                                headless: bool = True):
+        """Walk a scene view by view, accumulating the RGB-D cloud.
+
+        `depth_reader(path) -> (H, W) array` / `img_reader(path)` load
+        the on-disk frames (defaults use cv2 with the scene's
+        depth_shift).
+        """
+        d = self._find(scene_id)
+        if d is None:
+            return None
+        import cv2
+        depth_reader = depth_reader or (
+            lambda p: cv2.imread(p, cv2.IMREAD_UNCHANGED))
+        img_reader = img_reader or (lambda p: cv2.imread(p)[..., ::-1])
+        cams = self.list_cameras(scene_id)
+        start = cams.index(start_cam) if start_cam in (cams or []) else 0
+        views = []
+        cam2img = np.asarray(d.get('cam2img', np.eye(4)), np.float32)
+        for im in d.get('images', [])[start:]:
+            views.append({
+                'depth': depth_reader(im['depth_path']),
+                'img': img_reader(im['img_path']),
+                'intrinsic': np.asarray(im.get('cam2img', cam2img),
+                                        np.float32),
+                'cam2global': np.asarray(im['cam2global'], np.float32),
+                'visible_instance_ids': im.get('visible_instance_ids', []),
+            })
+        boxes = np.asarray([i['bbox_3d'] for i in
+                            d.get('instances', [])],
+                           np.float32).reshape(-1, 9)
+        labels = [i.get('bbox_label_3d', 0) for i in d.get('instances', [])]
+        from .visualization.continuous_drawer import ContinuousDrawer
+        drawer = ContinuousDrawer(views, boxes=boxes, labels=labels,
+                                  classes=self.classes,
+                                  save_dir=self.visualizer.save_dir)
+        if headless:
+            return drawer.run_headless(scene_id.replace('/', '_'))
+        drawer.run_interactive()
+        return drawer
+
+    def render_continuous_occupancy(self, occ_per_view,
+                                    voxel_size: float = 0.16,
+                                    headless: bool = True):
+        """Step through per-view occupancy predictions."""
+        from .visualization.continuous_drawer import (
+            ContinuousOccupancyDrawer)
+        views = [{'occupancy': o} for o in occ_per_view]
+        drawer = ContinuousOccupancyDrawer(
+            views, voxel_size=voxel_size, classes=self.classes,
+            save_dir=self.visualizer.save_dir)
+        if headless:
+            states = []
+            while (s := drawer.step()) is not None:
+                states.append(s)
+            return states
+        drawer.run_interactive()
+        return drawer
+
+    def show_image(self, scene_id: str, camera_name: str,
+                   render_box: bool = False,
+                   img_reader=None) -> Optional[np.ndarray]:
+        """One view's image, optionally with projected box wireframes
+        (reference explorer.py:442-501)."""
+        d = self._find(scene_id)
+        if d is None:
+            return None
+        cams = self.list_cameras(scene_id) or []
+        if camera_name not in cams:
+            return None
+        im = d['images'][cams.index(camera_name)]
+        import cv2
+        img_reader = img_reader or (lambda p: cv2.imread(p))
+        img = img_reader(im['img_path'])
+        if render_box and d.get('instances'):
+            from .visualization.img_drawer import ImgDrawer
+            axis_align = np.asarray(
+                d.get('axis_align_matrix', np.eye(4)), np.float64)
+            cam2img = np.eye(4, dtype=np.float64)
+            intr = np.asarray(im.get('cam2img', d.get('cam2img')),
+                              np.float64)
+            cam2img[:intr.shape[0], :intr.shape[1]] = intr
+            extrinsic = np.linalg.inv(
+                axis_align @ np.asarray(im['cam2global'], np.float64))
+            proj = cam2img @ extrinsic
+            boxes = np.asarray([i['bbox_3d'] for i in d['instances']],
+                               np.float32).reshape(-1, 9)
+            labels = np.asarray([i.get('bbox_label_3d', 0)
+                                 for i in d['instances']], np.int64)
+            img = ImgDrawer(self.classes).draw_boxes(
+                img, boxes, proj.astype(np.float32), labels)
+        return img

@@ -409,33 +409,38 @@ def sparse_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
     sorted, so each offset's query keys are sorted, so hit indices into
     the sorted input are non-decreasing (stride only scales the query
     spacing). Measured 1.6× over the XLA gather-scan on both self and
-    strided model shapes. CPU falls back to the XLA path. Gradients
-    always flow through the XLA formulation (custom_vjp below).
-    `self_map` is kept for callers that want to assert map provenance;
-    it no longer changes the dispatch.
+    strided model shapes. CPU falls back to the XLA path.
+
+    Gradients: for SELF maps dfeats is itself a Pallas conv with the
+    REVERSED map and transposed weights (out v reads in j at offset k
+    ⟺ out j reads in v at offset −k, and kernel_offsets is symmetric
+    under index reversal) — no scatter-add anywhere. dW and the strided
+    dfeats use the XLA gather/scatter formulation.
     """
-    del self_map
     if (nbr.shape[-1] > 1
             and jax.default_backend() not in ('cpu', )):
         # non-CPU == the TPU here (the axon plugin reports its own
         # platform name, so match ball_query.py's backend check)
-        return _sparse_conv_pallas_ad(feats, nbr, weights, out_mask)
+        return _sparse_conv_pallas_ad(self_map, feats, nbr, weights,
+                                      out_mask)
     return sparse_conv_apply(feats, nbr, weights, out_mask)
 
 
-@jax.custom_vjp
-def _sparse_conv_pallas_ad(feats, nbr, weights, out_mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, ))
+def _sparse_conv_pallas_ad(self_map, feats, nbr, weights, out_mask):
     from .sparse_conv_pallas import sparse_conv_gather_gemm
     return sparse_conv_gather_gemm(feats, nbr, weights, out_mask)
 
 
-def _sparse_conv_pallas_fwd(feats, nbr, weights, out_mask):
-    return (_sparse_conv_pallas_ad(feats, nbr, weights, out_mask),
+def _sparse_conv_pallas_fwd(self_map, feats, nbr, weights, out_mask):
+    return (_sparse_conv_pallas_ad(self_map, feats, nbr, weights,
+                                   out_mask),
             (feats, nbr, weights, out_mask))
 
 
-def _sparse_conv_pallas_bwd(res, g):
-    """XLA backward: dW via gather+einsum, dfeats via scatter-add."""
+def _sparse_conv_pallas_bwd(self_map, res, g):
+    """dfeats via reversed-map Pallas conv (self maps) or XLA
+    scatter-add (strided); dW via XLA row-gather + einsum."""
     feats, nbr, weights, out_mask = res
     g = jnp.where(out_mask[..., None], g, 0.0).astype(jnp.float32)
     f32 = feats.astype(jnp.float32)
@@ -449,6 +454,8 @@ def _sparse_conv_pallas_bwd(res, g):
         gathered = jnp.where(hit[..., None], gathered, 0.0)
         dw_k = jnp.einsum('bvc,bvd->cd', gathered, g,
                           preferred_element_type=jnp.float32)
+        if self_map:
+            return dfeats, dw_k
         contrib = jnp.einsum('bvd,cd->bvc', g, w_k.astype(jnp.float32),
                              preferred_element_type=jnp.float32)
         contrib = jnp.where(hit[..., None], contrib, 0.0)
@@ -457,6 +464,18 @@ def _sparse_conv_pallas_bwd(res, g):
 
     dfeats, dW = jax.lax.scan(
         step, jnp.zeros_like(f32), (weights, jnp.moveaxis(nbr, -1, 0)))
+
+    if self_map:
+        from .sparse_conv_pallas import sparse_conv_gather_gemm
+        # dfeats[j] = Σ_k W[k]ᵀ g[v : nbr[v,k]=j].  With m = mirror(k)
+        # (kernel_offsets is symmetric under index reversal) the source
+        # is nbr[j, m] itself, so this is a conv over the SAME map with
+        # mirrored-transposed weights — reversing both the map and the
+        # weights would cancel out.
+        w_rev = jnp.swapaxes(weights, 1, 2)[::-1]   # (K3, C_out, C_in)
+        # self map ⇒ the input voxel set IS the output voxel set
+        dfeats = sparse_conv_gather_gemm(g, nbr, w_rev, out_mask)
+
     return (dfeats.astype(feats.dtype), None, dW.astype(weights.dtype),
             None)
 

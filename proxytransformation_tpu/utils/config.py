@@ -108,6 +108,9 @@ class Config:
     def get(self, name: str, default: Any = None) -> Any:
         return self._cfg_dict.get(name, default)
 
+    def setdefault(self, name: str, default: Any = None) -> Any:
+        return self._cfg_dict.setdefault(name, default)
+
     def keys(self):
         return self._cfg_dict.keys()
 

@@ -110,6 +110,7 @@ def test_loss_finite_and_grad(model_and_vars):
         g['preshape']['img_trans']['kernel']).sum()) > 0
 
 
+@pytest.mark.slow
 def test_train_mode_runs(model_and_vars):
     model, variables, batch = model_and_vars
     out, mutated = model.apply(

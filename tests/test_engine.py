@@ -31,6 +31,7 @@ def test_synthetic_end_to_end_train_and_val(tmp_path):
     assert 0.0 <= results['Overall@0.25'] <= 1.0
 
 
+@pytest.mark.slow
 def test_resume_roundtrip(tmp_path):
     from proxytransformation_tpu.utils.config import Config
     import proxytransformation_tpu.models  # noqa: F401

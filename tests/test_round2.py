@@ -218,3 +218,100 @@ def test_val_batch_padding():
     assert padded['points'].shape[0] == 4
     np.testing.assert_array_equal(padded['points'][3], padded['points'][2])
     assert len(padded['eval_ann_info']) == 3  # host lists untouched
+
+
+# ---------------------------------------------------------------------------
+# numpy frustum/surface utilities
+# ---------------------------------------------------------------------------
+def test_box_np_ops_frustum_tail():
+    from proxytransformation_tpu.structures import box_np_ops as ops
+    rng = np.random.RandomState(0)
+
+    # surfaces + 3D polygon containment: unit cube at origin
+    corners = ops.center_to_corner_box3d(
+        np.zeros((1, 3)), np.ones((1, 3)), np.zeros((1, )))
+    surfaces = ops.corner_to_surfaces_3d(corners)
+    pts = np.array([[0.0, 0.0, 0.0], [0.4, 0.4, 0.4], [0.6, 0.0, 0.0]])
+    inside = ops.points_in_convex_polygon_3d(pts, surfaces)
+    assert inside[0, 0] and inside[1, 0] and not inside[2, 0]
+
+    # standup of rotated corners bounds the corners
+    c2 = ops.center_to_corner_box3d(
+        rng.randn(4, 3), np.abs(rng.randn(4, 3)) + 0.5, rng.randn(4))
+    standup = ops.corner_to_standup_nd(c2)
+    assert np.all(standup[:, :3] <= standup[:, 3:])
+
+    # camera↔lidar round trip
+    r_rect = np.eye(4)
+    velo2cam = np.eye(4)
+    velo2cam[:3, 3] = [0.1, -0.2, 0.3]
+    p = rng.randn(10, 3)
+    cam = np.concatenate([p, np.ones((10, 1))], 1) @ (r_rect @ velo2cam).T
+    back = ops.camera_to_lidar(cam[:, :3], r_rect, velo2cam)
+    np.testing.assert_allclose(back, p, atol=1e-6)
+
+    # projection decomposition: P = C[R|T] reconstructs
+    C = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+    th = 0.3
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    T = np.array([0.2, -0.1, 0.5])
+    P = C @ np.concatenate([R, T[:, None]], 1)
+    C2, R2, T2 = ops.projection_matrix_to_CRT_kitti(P)
+    np.testing.assert_allclose(C2, C, atol=1e-6)
+    np.testing.assert_allclose(R2, R, atol=1e-6)
+    np.testing.assert_allclose(T2, T, atol=1e-6)
+
+    # frustum corners have near/far depths
+    fr = ops.get_frustum([0, 0, 640, 480], C, 0.01, 10.0)
+    assert fr.shape == (8, 3)
+    np.testing.assert_allclose(fr[:4, 2], 0.01)
+    np.testing.assert_allclose(fr[4:, 2], 10.0)
+
+    # remove_outside_points keeps points in front of the camera
+    pts3 = np.array([[5.0, 0.0, 0.0], [-5.0, 0.0, 0.0]])
+    kept = ops.remove_outside_points(
+        pts3, np.eye(4), np.eye(4),
+        C @ np.concatenate(
+            [np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0.0]]),
+             np.zeros((3, 1))], 1),
+        (480, 640))
+    assert len(kept) == 1 and kept[0, 0] == 5.0
+
+    # depth map → points
+    depth = np.zeros((4, 5), np.float32)
+    depth[1, 2] = 2.5
+    out = ops.depth_to_points(depth)
+    np.testing.assert_allclose(out, [[2, 1, 2.5]])
+
+    # box3d_to_bbox projects within image for a centered box
+    P4 = np.eye(4)
+    P4[:3, :4] = C @ np.concatenate(
+        [np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0.0]]),
+         np.zeros((3, 1))], 1)
+    bb = ops.box3d_to_bbox(np.array([[4.0, 0, 0, 1, 1, 1, 0.2]]), P4)
+    assert bb.shape == (1, 4) and bb[0, 0] < bb[0, 2]
+
+    # rbbox2d_to_near_bbox swaps dims near ±π/2
+    rb = np.array([[0, 0, 2.0, 1.0, 0.0], [0, 0, 2.0, 1.0, np.pi / 2]])
+    near = ops.rbbox2d_to_near_bbox(rb)
+    np.testing.assert_allclose(near[0], [-1, -0.5, 1, 0.5])
+    np.testing.assert_allclose(near[1], [-0.5, -1, 0.5, 1])
+
+
+def test_bbox3d_result_transforms():
+    from proxytransformation_tpu.structures import (bbox3d_mapping_back,
+                                                    bbox3d2roi,
+                                                    bbox3d2result)
+    box = np.array([[1.0, 2.0, 0.5, 2.0, 1.0, 1.0, 0.3, 0.0, 0.0]])
+    back = bbox3d_mapping_back(box, scale_factor=2.0,
+                               flip_horizontal=True, flip_vertical=False)
+    np.testing.assert_allclose(back[0, 0], -0.5, atol=1e-6)  # -1/2
+    np.testing.assert_allclose(back[0, 3], 1.0, atol=1e-6)   # 2/2
+
+    rois = bbox3d2roi([box, np.zeros((2, 9))])
+    assert rois.shape == (3, 10)
+    assert rois[0, 0] == 0 and rois[1, 0] == 1
+
+    res = bbox3d2result(np.zeros((2, 9)), np.ones(2), np.zeros(2, np.int64))
+    assert set(res) == {'bboxes_3d', 'scores_3d', 'labels_3d'}

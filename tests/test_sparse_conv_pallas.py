@@ -80,3 +80,32 @@ def test_custom_vjp_backward_matches_xla_grads():
                                rtol=2e-2, atol=1e-3)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
                                rtol=2e-2, atol=1e-3)
+
+
+def test_reversed_weight_backward_formula():
+    """The self-map dfeats formula (same map, mirrored-transposed
+    weights) matches autodiff of the XLA conv — interpret mode."""
+    import jax
+    from proxytransformation_tpu.ops.sparse import (voxelize_points,
+        build_neighbor_map, sparse_conv_apply)
+    rng = np.random.RandomState(7)
+    B, V, C_in, C_out = 2, 300, 8, 12
+    pts = jnp.asarray(rng.uniform(0, 3.0, (B, V, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, V) > 0.1)
+    lvl = voxelize_points(pts, mask, pts, voxel_size=0.2, capacity=V,
+                          extent=(16, 16, 16))
+    nbr = build_neighbor_map(lvl, lvl, 3, 1)
+    f0 = jnp.where(lvl.mask[..., None],
+                   jnp.asarray(rng.randn(B, V, C_in), jnp.float32), 0.0)
+    w = jnp.asarray(rng.randn(27, C_in, C_out).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.randn(B, V, C_out).astype(np.float32))
+    cot = jnp.where(lvl.mask[..., None], cot, 0.0)
+
+    ref_df = jax.grad(
+        lambda f: jnp.sum(sparse_conv_apply(f, nbr, w, lvl.mask) * cot))(
+            f0)
+    w_rev = jnp.swapaxes(w, 1, 2)[::-1]
+    got_df = sparse_conv_gather_gemm(cot, nbr, w_rev, lvl.mask,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got_df), np.asarray(ref_df),
+                               atol=2e-2, rtol=2e-2)

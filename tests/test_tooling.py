@@ -98,3 +98,46 @@ def test_local_vis_backend(tmp_path):
         {'visualizer': {'vis_backends': [{'type': 'LocalVisBackend'}]}},
         str(tmp_path))
     assert len(backends) == 1
+
+
+def test_explorer_full_surface(tmp_path):
+    """Explorer listing + continuous render + show_image on the
+    miniature real-data fixture."""
+    import pickle
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_realdata_e2e import _make_mini_dataset
+    root = _make_mini_dataset(str(tmp_path / 'data'))
+    # explorer expects absolute paths; the fixture writes relative ones
+    with open(os.path.join(root, 'mini_infos_train.pkl'), 'rb') as f:
+        infos = pickle.load(f)
+    for d in infos['data_list']:
+        for im in d['images']:
+            im['img_path'] = os.path.join(root, im['img_path'])
+            im['depth_path'] = os.path.join(root, im['depth_path'])
+    fixed = tmp_path / 'infos_abs.pkl'
+    with open(fixed, 'wb') as f:
+        pickle.dump(infos, f)
+
+    from proxytransformation_tpu.explorer import EmbodiedScanExplorer
+    ex = EmbodiedScanExplorer(data_root=root, ann_files=[str(fixed)],
+                              save_dir=str(tmp_path / 'viz'))
+    assert ex.count_scenes() == 2
+    cats = ex.list_categories()
+    assert {'category': 'chair', 'id': 0} in cats
+    scene = ex.list_scenes()[0]
+    cams = ex.list_cameras(scene)
+    assert len(cams) == 3
+    insts = ex.list_instances(scene)
+    assert len(insts) == 2 and insts[0]['name'] == 'chair'
+
+    img = ex.show_image(scene, cams[0], render_box=True)
+    assert img is not None and img.ndim == 3
+
+    outs = ex.render_continuous_scene(scene)
+    assert len(outs) == 3  # one render per view
+
+    occ_states = ex.render_continuous_occupancy(
+        [np.array([[0, 0, 0, 1]]), np.array([[1, 1, 1, 2]])])
+    assert len(occ_states) == 2
+    assert occ_states[1]['points'].shape[0] == 2

@@ -70,6 +70,7 @@ def test_batch_stats_structure(model_and_vars, converted):
         assert ref == got, (sub, ref ^ got)
 
 
+@pytest.mark.slow
 def test_full_apply_with_converted_weights(model_and_vars, converted):
     """Merge the converted tree over init (where shapes match the tiny
     config) and run predict end-to-end."""

@@ -30,6 +30,14 @@ def main():
         import jax
         jax.config.update('jax_platforms', cfg['jax_platform'])
 
+    if args.use_wandb:
+        vis = cfg.setdefault('visualizer', {})
+        backends = vis.setdefault('vis_backends', [])
+        if not backends:
+            backends.append({'type': 'LocalVisBackend'})
+        if not any(b.get('type') == 'WandbVisBackend' for b in backends):
+            backends.append({'type': 'WandbVisBackend'})
+
     import proxytransformation_tpu.models  # noqa: F401
     import proxytransformation_tpu.data  # noqa: F401
     from proxytransformation_tpu.engine.runner import Runner

@@ -53,6 +53,16 @@ def main():
         'work_dir', os.path.join('work_dirs', os.path.splitext(
             os.path.basename(args.config))[0]))
 
+    if args.use_wandb:
+        # reference tools/train.py:138-149 forces a Wandb visualizer on
+        # --use_wandb; here it degrades to the local backend offline
+        vis = cfg.setdefault('visualizer', {})
+        backends = vis.setdefault('vis_backends', [])
+        if not backends:
+            backends.append({'type': 'LocalVisBackend'})
+        if not any(b.get('type') == 'WandbVisBackend' for b in backends):
+            backends.append({'type': 'WandbVisBackend'})
+
     import proxytransformation_tpu.models  # noqa: F401  (register)
     import proxytransformation_tpu.data  # noqa: F401
     from proxytransformation_tpu.engine.runner import Runner
