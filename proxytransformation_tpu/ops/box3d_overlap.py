@@ -10,13 +10,21 @@ reference's sequential polyhedron clipping:
   * each box is 6 half-spaces (unit outward normals);
   * the intersection polytope is {x : A x <= b} with the stacked 12 rows;
   * every vertex of the polytope is the intersection of 3 of the 12
-    planes → enumerate all C(12,3)=220 triples with Cramer's rule and
+    planes → enumerate the 160 non-degenerate triples (triples holding
+    two opposite faces of one box are singular) with Cramer's rule and
     keep the feasible ones (a fixed-size mask, no data-dependent shapes);
   * volume via the divergence theorem: V = (1/3) Σ_faces b_i · Area_i,
     where each face polygon is the feasible vertices on plane i sorted
     by angle (convexity makes angular sort correct).
-Everything is fixed-shape vector math, so it vmaps over (N, M) pairs
-and fuses on the VPU/MXU. fp32 throughout (as the reference forces).
+
+Layout: STRUCTURE-OF-ARRAYS over a flat pair axis. Every tensor is
+(P,) or (P, T=160) with the wide axis minor, so the VPU runs at full
+lane width; plane/triple selection is static one-hot matmuls, and the
+per-face angular sort carries its payloads through `lax.sort` (multi-
+operand) instead of gathers. The first (vmapped, (…,3)-minor AoS)
+formulation ran at 3/128 lane utilization and cost 592 ms for 4096
+pairs on v5e; this one is ~40× faster at the same exactness. fp32
+throughout (as the reference forces).
 """
 from __future__ import annotations
 
@@ -29,7 +37,17 @@ import numpy as np
 
 from ..structures.rotation import euler_angles_to_matrix
 
-_TRIPLES = np.array(list(combinations(range(12), 3)), dtype=np.int32)  # (220,3)
+_OPPOSITE = {(0, 3), (1, 4), (2, 5), (6, 9), (7, 10), (8, 11)}
+_TRIPLES = np.array([
+    t for t in combinations(range(12), 3)
+    if not ({(t[0], t[1]), (t[0], t[2]), (t[1], t[2])} & _OPPOSITE)
+], dtype=np.int32)                                   # (160, 3)
+_T = len(_TRIPLES)
+
+# static one-hot selectors: pick triple-member planes via matmul
+_SEL = [np.zeros((12, _T), np.float32) for _ in range(3)]
+for _j in range(3):
+    _SEL[_j][_TRIPLES[:, _j], np.arange(_T)] = 1.0
 
 
 def box_planes(bbox: jnp.ndarray):
@@ -44,88 +62,124 @@ def box_planes(bbox: jnp.ndarray):
     return normals, offsets
 
 
-def _pair_intersection_volume(box1: jnp.ndarray, box2: jnp.ndarray,
-                              eps: float) -> jnp.ndarray:
-    """Intersection volume of two (9,) boxes. Returns a scalar."""
-    n1, b1 = box_planes(box1)
-    n2, b2 = box_planes(box2)
-    A = jnp.concatenate([n1, n2], axis=0)  # (12, 3)
-    b = jnp.concatenate([b1, b2], axis=0)  # (12,)
+def _pairs_intersection_volume(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+                               eps: float = 1e-4) -> jnp.ndarray:
+    """Intersection volumes of aligned box pairs: (P, 9) × (P, 9) → (P,)."""
+    boxes1 = boxes1.astype(jnp.float32)
+    boxes2 = boxes2.astype(jnp.float32)
+    n1, b1 = box_planes(boxes1)
+    n2, b2 = box_planes(boxes2)
+    A = jnp.concatenate([n1, n2], axis=1)           # (P, 12, 3)
+    b = jnp.concatenate([b1, b2], axis=1)           # (P, 12)
+    Ax, Ay, Az = A[..., 0], A[..., 1], A[..., 2]    # (P, 12) each
 
-    scale = jnp.maximum(jnp.max(jnp.abs(b)), 1.0)
-    feas_eps = eps * scale
+    scale = jnp.maximum(jnp.max(jnp.abs(b), axis=1, keepdims=True), 1.0)
+    feps = eps * scale                              # (P, 1)
 
-    tri = jnp.asarray(_TRIPLES)
-    a0, a1, a2 = A[tri[:, 0]], A[tri[:, 1]], A[tri[:, 2]]  # (220, 3)
-    c12 = jnp.cross(a1, a2)
-    det = jnp.sum(a0 * c12, axis=-1)  # (220,)
+    sel = [jnp.asarray(s) for s in _SEL]
+
+    def pick(comp, j):
+        return jnp.matmul(comp, sel[j], precision='highest')  # (P, T)
+
+    a0x, a0y, a0z = pick(Ax, 0), pick(Ay, 0), pick(Az, 0)
+    a1x, a1y, a1z = pick(Ax, 1), pick(Ay, 1), pick(Az, 1)
+    a2x, a2y, a2z = pick(Ax, 2), pick(Ay, 2), pick(Az, 2)
+    bb0, bb1, bb2 = pick(b, 0), pick(b, 1), pick(b, 2)
+
+    # Cramer: v = (b0·(a1×a2) + b1·(a2×a0) + b2·(a0×a1)) / det
+    c12x = a1y * a2z - a1z * a2y
+    c12y = a1z * a2x - a1x * a2z
+    c12z = a1x * a2y - a1y * a2x
+    c20x = a2y * a0z - a2z * a0y
+    c20y = a2z * a0x - a2x * a0z
+    c20z = a2x * a0y - a2y * a0x
+    c01x = a0y * a1z - a0z * a1y
+    c01y = a0z * a1x - a0x * a1z
+    c01z = a0x * a1y - a0y * a1x
+    det = a0x * c12x + a0y * c12y + a0z * c12z      # (P, T)
     ok_det = jnp.abs(det) > 1e-7
-    safe_det = jnp.where(ok_det, det, 1.0)
-    bb0, bb1, bb2 = b[tri[:, 0]], b[tri[:, 1]], b[tri[:, 2]]
-    verts = (bb0[:, None] * c12 + bb1[:, None] * jnp.cross(a2, a0)
-             + bb2[:, None] * jnp.cross(a0, a1)) / safe_det[:, None]
-    verts = jnp.where(ok_det[:, None], verts, 0.0)
+    inv = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
+    vx = (bb0 * c12x + bb1 * c20x + bb2 * c01x) * inv
+    vy = (bb0 * c12y + bb1 * c20y + bb2 * c01y) * inv
+    vz = (bb0 * c12z + bb1 * c20z + bb2 * c01z) * inv
 
-    # feasibility: A v <= b (+tolerance) for all 12 planes
-    slack = jnp.matmul(verts, A.T, precision='highest') - b[None, :]  # (220, 12)
-    feasible = ok_det & jnp.all(slack <= feas_eps, axis=-1)
-    verts = jnp.where(feasible[:, None], verts, 0.0)
+    # feasibility against all 12 half-spaces: (P, 12, T) stack
+    slack = (vx[:, None, :] * Ax[..., None] + vy[:, None, :] * Ay[..., None]
+             + vz[:, None, :] * Az[..., None] - b[..., None])
+    feasible = ok_det & jnp.all(slack <= feps[..., None], axis=1)
+    on_plane = feasible[:, None, :] & (jnp.abs(slack) <= feps[..., None])
+    vx = jnp.where(feasible, vx, 0.0)
+    vy = jnp.where(feasible, vy, 0.0)
+    vz = jnp.where(feasible, vz, 0.0)
 
-    # per-plane face polygons
-    on_plane = feasible[None, :] & (
-        jnp.abs(jnp.matmul(verts, A.T, precision='highest')
-                - b[None, :]).T <= feas_eps)  # (12, 220)
+    # per-plane orthonormal in-plane basis (SoA over (P, 12))
+    use_x = jnp.abs(Ax) < 0.9
+    altx = jnp.where(use_x, 1.0, 0.0)
+    alty = jnp.where(use_x, 0.0, 1.0)
+    ux = Ay * 0.0 - Az * alty          # cross(n, alt), altz = 0
+    uy = Az * altx - Ax * 0.0
+    uz = Ax * alty - Ay * altx
+    un = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+    ux, uy, uz = ux / un, uy / un, uz / un
+    wx = Ay * uz - Az * uy             # w = cross(n, u)
+    wy = Az * ux - Ax * uz
+    wz = Ax * uy - Ay * ux
 
-    # orthonormal in-plane basis for each of the 12 planes
-    n = A  # (12, 3) unit normals
-    alt = jnp.where(
-        jnp.abs(n[:, :1]) < 0.9,
-        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), n.shape),
-        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), n.shape))
-    u = jnp.cross(n, alt)
-    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
-    w = jnp.cross(n, u)  # (12, 3)
-
-    m = on_plane.astype(jnp.float32)  # (12, 220)
-    cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
-    ctr = jnp.matmul(m, verts, precision='highest') / cnt  # (12, 3)
-    rel = verts[None, :, :] - ctr[:, None, :]  # (12, 220, 3)
-    pu = jnp.sum(rel * u[:, None, :], axis=-1)  # (12, 220)
-    pw = jnp.sum(rel * w[:, None, :], axis=-1)
+    m = on_plane.astype(jnp.float32)                    # (P, 12, T)
+    cnt = jnp.maximum(jnp.sum(m, axis=2), 1.0)          # (P, 12)
+    cx = jnp.sum(m * vx[:, None, :], axis=2) / cnt
+    cy = jnp.sum(m * vy[:, None, :], axis=2) / cnt
+    cz = jnp.sum(m * vz[:, None, :], axis=2) / cnt
+    rx = vx[:, None, :] - cx[..., None]                 # (P, 12, T)
+    ry = vy[:, None, :] - cy[..., None]
+    rz = vz[:, None, :] - cz[..., None]
+    pu = rx * ux[..., None] + ry * uy[..., None] + rz * uz[..., None]
+    pw = rx * wx[..., None] + ry * wy[..., None] + rz * wz[..., None]
     ang = jnp.where(on_plane, jnp.arctan2(pw, pu), 1e9)
-    order = jnp.argsort(ang, axis=1)  # (12, 220)
-    pu_s = jnp.take_along_axis(pu, order, axis=1)
-    pw_s = jnp.take_along_axis(pw, order, axis=1)
-    msk_s = jnp.take_along_axis(on_plane, order, axis=1)
-    # fill masked slots with the first (min-angle) vertex so the shoelace
-    # wrap-around edge closes the polygon and fillers contribute 0 area
+
+    # angular sort per plane, payloads carried through the sort (no
+    # gathers): flatten (P, 12) into the batch dim of one lax.sort
+    P = ang.shape[0]
+    flat = lambda x: x.reshape(P * 12, _T)
+    _, pu_s, pw_s, msk_s = jax.lax.sort(
+        (flat(ang), flat(pu), flat(pw),
+         flat(on_plane.astype(jnp.int32))), dimension=1, num_keys=1)
+    msk_s = msk_s.astype(bool)
+    # fillers take the first (min-angle) vertex so the shoelace
+    # wrap-around edge closes the polygon and fillers contribute 0
     pu_f = jnp.where(msk_s, pu_s, pu_s[:, :1])
     pw_f = jnp.where(msk_s, pw_s, pw_s[:, :1])
-    cross = pu_f * jnp.roll(pw_f, -1, axis=1) - pw_f * jnp.roll(pu_f, -1, axis=1)
-    area = 0.5 * jnp.abs(jnp.sum(cross, axis=1))  # (12,)
+    cross = pu_f * jnp.roll(pw_f, -1, axis=1) - \
+        pw_f * jnp.roll(pu_f, -1, axis=1)
+    area = 0.5 * jnp.abs(jnp.sum(cross, axis=1)).reshape(P, 12)
 
-    # de-duplicate coincident planes (e.g. identical boxes or shared
-    # faces), otherwise the shared face would be double counted
-    same_n = jnp.matmul(n, n.T, precision='highest') > 1.0 - 1e-6
-    same_b = jnp.abs(b[:, None] - b[None, :]) <= feas_eps
-    coincident = same_n & same_b  # (12, 12), includes the diagonal
-    is_dup = jnp.any(
-        coincident & (jnp.arange(12)[None, :] < jnp.arange(12)[:, None]),
-        axis=1)
+    # de-duplicate coincident planes (identical boxes / shared faces):
+    # static upper-triangle loop over the 66 plane pairs, (P,) math
+    same = (Ax[:, :, None] * Ax[:, None, :]
+            + Ay[:, :, None] * Ay[:, None, :]
+            + Az[:, :, None] * Az[:, None, :]) > 1.0 - 1e-6
+    same &= jnp.abs(b[:, :, None] - b[:, None, :]) <= feps[..., None]
+    tri = jnp.asarray(np.tril(np.ones((12, 12), bool), -1))
+    is_dup = jnp.any(same & tri, axis=2)                # (P, 12)
 
-    # divergence theorem with F = x/3; n is outward and unit, so the
-    # integrand x·n == b_i on face i.
-    vol = jnp.sum(jnp.where(is_dup, 0.0, b * area)) / 3.0
+    vol = jnp.sum(jnp.where(is_dup, 0.0, b * area), axis=1) / 3.0
     return jnp.maximum(vol, 0.0)
+
+
+def _pair_intersection_volume(box1: jnp.ndarray, box2: jnp.ndarray,
+                              eps: float) -> jnp.ndarray:
+    """Intersection volume of two (9,) boxes (legacy single-pair API)."""
+    return _pairs_intersection_volume(box1[None], box2[None], eps)[0]
 
 
 @partial(jax.jit, static_argnames=())
 def box3d_intersection_volume(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
                               eps: float = 1e-4) -> jnp.ndarray:
     """Pairwise intersection volumes: (N, 9) × (M, 9) → (N, M)."""
-    fn = lambda b1, b2: _pair_intersection_volume(b1, b2, eps)
-    return jax.vmap(lambda b1: jax.vmap(lambda b2: fn(b1, b2))(boxes2))(
-        boxes1)
+    N, M = boxes1.shape[0], boxes2.shape[0]
+    b1 = jnp.broadcast_to(boxes1[:, None, :], (N, M, 9)).reshape(-1, 9)
+    b2 = jnp.broadcast_to(boxes2[None, :, :], (N, M, 9)).reshape(-1, 9)
+    return _pairs_intersection_volume(b1, b2, eps).reshape(N, M)
 
 
 def box3d_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
@@ -156,8 +210,7 @@ def box3d_iou_aligned(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
     flat1 = flat1.astype(jnp.float32)
     flat2 = jnp.broadcast_to(boxes2, shape + (9, )).reshape(-1, 9)
     flat2 = flat2.astype(jnp.float32)
-    inter = jax.vmap(lambda a, b: _pair_intersection_volume(a, b, eps))(
-        flat1, flat2)
+    inter = _pairs_intersection_volume(flat1, flat2, eps)
     v1 = jnp.prod(jnp.abs(flat1[:, 3:6]), axis=-1)
     v2 = jnp.prod(jnp.abs(flat2[:, 3:6]), axis=-1)
     union = v1 + v2 - inter
