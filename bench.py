@@ -96,10 +96,11 @@ def _flagship_batch(jnp, B, n_points=100_000, V=20, H=480, W=480, L=32,
     return batch
 
 
-def _flagship_model():
+def _flagship_model(remat=False):
     from proxytransformation_tpu.models.detector import (
         SparseFeatureFusion3DGrounderPreshape)
-    return SparseFeatureFusion3DGrounderPreshape()  # reference defaults
+    # reference defaults; remat for the big train batches
+    return SparseFeatureFusion3DGrounderPreshape(remat=remat)
 
 
 def bench_full_forward(jax, jnp, chained_ms_per_iter, B=2):
@@ -129,7 +130,7 @@ def bench_train_step(jax, jnp, chained_ms_per_iter, B=6):
     from proxytransformation_tpu.engine import (build_optimizer,
                                                 create_train_state,
                                                 make_train_step)
-    model = _flagship_model()
+    model = _flagship_model(remat=B >= 4)
     batch = _flagship_batch(jnp, B, with_targets=True)
     variables = jax.jit(
         lambda rng, b: model.init(rng, b, mode='loss', train=False))(

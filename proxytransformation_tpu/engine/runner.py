@@ -44,7 +44,8 @@ def build_model_from_cfg(model_cfg: Dict[str, Any]):
     from ..models.detector import SparseFeatureFusion3DGrounderPreshape
     cfg = dict(model_cfg)
     kw: Dict[str, Any] = {}
-    for k in ('num_queries', 'voxel_size', 'use_xyz_feat', 'n_points'):
+    for k in ('num_queries', 'voxel_size', 'use_xyz_feat', 'n_points',
+              'remat', 't_type'):
         if k in cfg:
             kw[k] = cfg[k]
     pres = cfg.get('preshape', {})

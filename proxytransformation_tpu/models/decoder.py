@@ -138,6 +138,7 @@ class SparseFeatureFusionTransformerDecoder(nn.Module):
     num_heads: int = 8
     dropout: float = 0.0
     feedforward_channels: int = 2048
+    remat: bool = False  # rematerialize per layer (jax.checkpoint)
 
     @nn.compact
     def __call__(self, query, feats, feats_padding_mask, query_coords,
@@ -159,9 +160,11 @@ class SparseFeatureFusionTransformerDecoder(nn.Module):
             if key_pos is None:  # key coords are constant across layers
                 key_pos = key_pos_net(feats_coords, feats_mask,
                                       train=not deterministic)
-            query = DecoderLayer(self.embed_dims, self.num_heads,
-                                 self.dropout, self.feedforward_channels,
-                                 name=f'layer_{lid}')(
+            layer_cls = (nn.remat(DecoderLayer, static_argnums=(9, ))
+                         if self.remat else DecoderLayer)
+            query = layer_cls(self.embed_dims, self.num_heads,
+                              self.dropout, self.feedforward_channels,
+                              name=f'layer_{lid}')(
                 query, feats, feats, query_pos, key_pos,
                 feats_padding_mask, text_feats, text_padding_mask,
                 deterministic)

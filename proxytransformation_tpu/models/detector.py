@@ -89,9 +89,15 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
     num_heads: int = 8
     ffn_channels: int = 2048
 
+    # rematerialize ResNet / sparse / decoder blocks (jax.checkpoint) —
+    # trades recompute for activation + XLA-compile memory; needed for
+    # the reference B=6 per-chip train batch
+    remat: bool = False
+
     def setup(self):
         self.backbone = ResNet(depth=self.img_depth,
-                               base_channels=self.img_base_channels)
+                               base_channels=self.img_base_channels,
+                               remat=self.remat)
         if self.t_type == 'clip':
             self.text_encoder = CLIPTextEncoder(width=self.text_width,
                                                 layers=self.text_layers,
@@ -110,7 +116,8 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
         self.backbone_3d = MinkResNet(depth=self.backbone3d_depth,
                                       in_channels=3,
                                       capacities=tuple(
-                                          self.sparse_capacities))
+                                          self.sparse_capacities),
+                                      remat=self.remat)
         img_chans = [self.img_base_channels * 4 * 2 ** i for i in range(4)]
         mink_chans = [64, 128, 256, 512]
         self.neck_3d = MinkNeck(
@@ -122,7 +129,7 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
         self.decoder = SparseFeatureFusionTransformerDecoder(
             num_layers=self.decoder_layers, embed_dims=self.embed_dims,
             num_heads=self.num_heads,
-            feedforward_channels=self.ffn_channels)
+            feedforward_channels=self.ffn_channels, remat=self.remat)
         self.bbox_head = GroundingHead(
             num_classes=self.max_text_len, embed_dims=self.embed_dims,
             max_text_len=self.max_text_len,

@@ -93,6 +93,7 @@ class ResNet(nn.Module):
     num_stages: int = 4
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = 1  # handled by the optimizer mask, kept for parity
+    remat: bool = False  # rematerialize per-block (jax.checkpoint)
 
     arch_settings = {
         18: (BasicBlock2D, (2, 2, 2, 2)),
@@ -104,6 +105,8 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         block_cls, stage_blocks = self.arch_settings[self.depth]
+        if self.remat:
+            block_cls = nn.remat(block_cls)
         stage_blocks = stage_blocks[:self.num_stages]
         x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, name='conv1')(x)

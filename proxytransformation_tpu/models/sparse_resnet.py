@@ -133,6 +133,7 @@ class MinkResNet(nn.Module):
     norm: str = 'instance'  # stem norm; 'batch' if BATCHNORM=1 in reference
     capacities: Sequence[int] = (100_000, 80_000, 50_000, 20_000, 6_000,
                                  2_000)
+    remat: bool = False  # rematerialize per block (jax.checkpoint)
 
     arch_settings = {
         18: ('basic', (2, 2, 2, 2)),
@@ -176,10 +177,16 @@ class MinkResNet(nn.Module):
             nbr_self = build_neighbor_map(new_lvl, new_lvl, 3, 1)
             for j in range(n_blocks):
                 first = j == 0
+                basic_cls = (nn.remat(SparseBasicBlock,
+                                      static_argnums=(7, ))
+                             if self.remat else SparseBasicBlock)
+                bott_cls = (nn.remat(SparseBottleneck,
+                                     static_argnums=(7, ))
+                            if self.remat else SparseBottleneck)
                 if block_type == 'basic':
                     need_down = first  # stride 2 always at block 0
-                    x = SparseBasicBlock(planes, conv1_self=not first,
-                                         name=f'layer{i + 1}_{j}')(
+                    x = basic_cls(planes, conv1_self=not first,
+                                  name=f'layer{i + 1}_{j}')(
                         x, lvl.mask if first else new_lvl.mask,
                         new_lvl.mask,
                         nbr_stride3 if first else nbr_self, nbr_self,
@@ -187,8 +194,8 @@ class MinkResNet(nn.Module):
                 else:
                     exp_ch = planes * 4
                     need_down = first or x.shape[-1] != exp_ch
-                    x = SparseBottleneck(planes, conv2_self=not first,
-                                         name=f'layer{i + 1}_{j}')(
+                    x = bott_cls(planes, conv2_self=not first,
+                                 name=f'layer{i + 1}_{j}')(
                         x, lvl.mask if first else new_lvl.mask,
                         new_lvl.mask,
                         nbr_stride3 if first else nbr_self, nbr_self,
