@@ -312,6 +312,13 @@ def convert_detector(sd: Dict[str, np.ndarray],
     bsd = {k[len('backbone.'):]: np.asarray(v) for k, v in sd.items()
            if k.startswith('backbone.')}
     if bsd:
+        # infer 2D depth: bottlenecks carry conv3, stage-3 block count
+        # separates 50/101 (and 18/34 for basic blocks)
+        if any(k.startswith('layer') for k in bsd):
+            bottleneck = 'layer1.0.conv3.weight' in bsd
+            n3 = _count_indexed(bsd, r'layer3\.(\d+)\.')
+            img_depth = ((101 if n3 == 23 else 50) if bottleneck else
+                         (34 if n3 == 6 else 18))
         bp, bs = convert_torch_resnet(bsd, depth=img_depth)
         params['backbone'] = bp
         stats['backbone'] = bs
@@ -377,7 +384,10 @@ def fake_reference_state_dict(rng: np.random.RandomState,
                               decoder_layers: int = 2,
                               dec_embed: int = 16,
                               dec_ffn: int = 32,
-                              num_reg: int = 9) -> Dict[str, np.ndarray]:
+                              num_reg: int = 9,
+                              with_backbone2d: bool = False,
+                              img_depth: int = 18,
+                              img_base: int = 8) -> Dict[str, np.ndarray]:
     """Random tensors under the reference's exact key names/shapes."""
     sd: Dict[str, np.ndarray] = {}
 
@@ -509,4 +519,32 @@ def fake_reference_state_dict(rng: np.random.RandomState,
 
     # ---- text_feat_map
     lin('text_feat_map', E, De)
+
+    # ---- optional 2D ResNet (mmdet/torchvision layout)
+    if with_backbone2d:
+        from ..models.resnet import ResNet
+        block_cls, arch = ResNet.arch_settings[img_depth]
+        n_convs = 3 if img_depth >= 50 else 2
+        bb = 'backbone.'
+        sd[bb + 'conv1.weight'] = r(img_base, 3, 7, 7)
+        bn(bb + 'bn1', img_base)
+        inpl = img_base
+        exp = 4 if img_depth >= 50 else 1
+        for i, n_blocks in enumerate(arch):
+            planes = img_base * 2 ** i
+            for j in range(n_blocks):
+                src = bb + f'layer{i + 1}.{j}'
+                cin = inpl if j == 0 else planes * exp
+                widths = ([planes, planes, planes * exp] if n_convs == 3
+                          else [planes, planes])
+                for ci, w_out in enumerate(widths, start=1):
+                    ks = 3 if (n_convs == 2 or ci == 2) else 1
+                    sd[src + f'.conv{ci}.weight'] = r(w_out, cin, ks, ks)
+                    bn(src + f'.bn{ci}', w_out)
+                    cin = w_out
+                if j == 0 and (i > 0 or inpl != planes * exp):
+                    sd[src + '.downsample.0.weight'] = r(
+                        planes * exp, inpl, 1, 1)
+                    bn(src + '.downsample.1', planes * exp)
+            inpl = planes * exp
     return sd

@@ -32,7 +32,11 @@ class Det3DDataPreprocessor:
                  n_views: int = 20,
                  max_text_len: int = 256,
                  max_gts: int = 8,
+                 point_channels: int = 3,
                  tokenizer_path: Optional[str] = None):
+        if point_channels < 3:
+            raise ValueError(
+                f'point_channels must be >= 3 (xyz), got {point_channels}')
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.bgr_to_rgb = bgr_to_rgb
@@ -41,6 +45,7 @@ class Det3DDataPreprocessor:
         self.n_views = n_views
         self.max_text_len = max_text_len
         self.max_gts = max_gts
+        self.point_channels = point_channels
         self.tokenizer = build_tokenizer(tokenizer_path)
 
     def _norm_img(self, img: np.ndarray) -> np.ndarray:
@@ -97,16 +102,22 @@ class Det3DDataPreprocessor:
                 S = np.diag([sf[0], sf[1], 1.0, 1.0]).astype(np.float32)
                 proj_mats[b, :v] = S @ proj_mats[b, :v]
 
-        # points: (B, N, C) + mask; extra channels beyond xyz (color,
-        # etc.) are carried through so `use_xyz_feat=False` models can
-        # voxelize them as features
-        C = max(np.asarray(s['points']).shape[-1] for s in samples)
+        # points: (B, N, C) + mask with C fixed by config (not the
+        # per-batch max, which would change array shapes between batches
+        # — one jit recompile per shape and a mid-training failure for
+        # 3-channel batches under use_xyz_feat=False). Extra channels
+        # beyond xyz (color, etc.) are carried through so
+        # `use_xyz_feat=False` models can voxelize them as features;
+        # channels beyond `point_channels` are truncated, missing ones
+        # zero-padded.
+        C = self.point_channels
         points = np.zeros((B, self.n_points, C), np.float32)
         points_mask = np.zeros((B, self.n_points), bool)
         for b, s in enumerate(samples):
             p = np.asarray(s['points'], np.float32)
             n = min(len(p), self.n_points)
-            points[b, :n, :p.shape[-1]] = p[:n]
+            c = min(p.shape[-1], C)
+            points[b, :n, :c] = p[:n, :c]
             points_mask[b, :n] = True
 
         # gts

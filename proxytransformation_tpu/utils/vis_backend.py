@@ -83,5 +83,8 @@ def build_vis_backends(cfg, work_dir: str) -> Sequence:
         if t == 'WandbVisBackend':
             out.append(WandbVisBackend(work_dir, **kw))
         else:
-            out.append(LocalVisBackend(work_dir))
+            out.append(LocalVisBackend(kw.pop('save_dir', work_dir)))
+            if kw:
+                logger.warning('LocalVisBackend: ignoring unsupported '
+                               'config keys %s', sorted(kw))
     return out

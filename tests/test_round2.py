@@ -159,9 +159,17 @@ def test_preprocessor_warns_on_gt_truncation():
 def test_preprocessor_keeps_color_channels():
     from proxytransformation_tpu.data.preprocessor import (
         Det3DDataPreprocessor)
-    pp = Det3DDataPreprocessor(n_points=64, n_views=1)
+    pp = Det3DDataPreprocessor(n_points=64, n_views=1, point_channels=6)
     batch = pp([_mini_sample(point_channels=6)])
     assert batch['points'].shape[-1] == 6
+    # channel count is a fixed config (ADVICE r2): a 3-channel sample in
+    # the same config zero-pads instead of changing the batch shape
+    batch3 = pp([_mini_sample(point_channels=3)])
+    assert batch3['points'].shape[-1] == 6
+    assert np.allclose(batch3['points'][..., 3:], 0.0)
+    # and channels beyond the config are truncated
+    pp3 = Det3DDataPreprocessor(n_points=64, n_views=1)
+    assert pp3([_mini_sample(point_channels=6)])['points'].shape[-1] == 3
 
 
 def test_use_xyz_feat_false_raises_cleanly_without_colors():

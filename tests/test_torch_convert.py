@@ -136,3 +136,124 @@ def test_parity_harness_on_fake_checkpoint(tmp_path):
     np.savez(str(npz), **bad)
     results = check_parity(str(pth), str(npz), atol=1e-4, report=None)
     assert not results[0][2]
+
+
+def test_parity_harness_full_contract(tmp_path):
+    """Every module family promised by the parity npz contract has a
+    working replay path (VERDICT r2 #5): preshape.simple_encoder,
+    preshape.get_offsets, backbone.out{i}, backbone_3d.stem, decoder —
+    plus the loud-skip guard for unknown recorded modules."""
+    import torch
+    from proxytransformation_tpu.converter.torch_weights import (
+        fake_reference_state_dict)
+    from proxytransformation_tpu.converter.parity import check_parity
+    from proxytransformation_tpu.converter import parity as parity_mod
+
+    rng = np.random.RandomState(1)
+    sd = fake_reference_state_dict(rng, with_backbone2d=True)
+    pth = tmp_path / 'fake.pth'
+    torch.save({'state_dict': {k: torch.from_numpy(v)
+                               for k, v in sd.items()}}, str(pth))
+    from proxytransformation_tpu.converter.torch_weights import (
+        convert_detector)
+    variables = convert_detector(sd)
+    acts = {}
+
+    # --- preshape pointnets: independent numpy oracle (torch conv1x1
+    # over the channel axis == x @ W.T + b, BN eval from running stats)
+    def bn_eval(x, pre):
+        g, b = sd[pre + '.weight'], sd[pre + '.bias']
+        m, v = sd[pre + '.running_mean'], sd[pre + '.running_var']
+        return (x - m) / np.sqrt(v + 1e-5) * g + b
+
+    b_, m_, k_ = 2, 5, 4
+    center = rng.randn(b_, m_, 3).astype(np.float32)
+    cluster = rng.randn(b_, m_, k_, 3).astype(np.float32)
+    cluster[0, 1, 2] = 0.0  # a padded slot
+    rel = cluster - center[:, :, None, :]
+    rel[np.all(cluster == 0, -1)] = 0
+    x6 = np.concatenate([rel, cluster], -1)
+
+    def pointnet(pre, reduce):
+        w0 = sd[f'preshape.{pre}.mlp.0.weight'][..., 0, 0]   # (E, 6)
+        h = x6 @ w0.T + sd[f'preshape.{pre}.mlp.0.bias']
+        h = np.maximum(bn_eval(h, f'preshape.{pre}.mlp.1'), 0.0)
+        return reduce(h)
+
+    acts['preshape.simple_encoder.in0'] = center
+    acts['preshape.simple_encoder.in1'] = cluster
+    acts['preshape.simple_encoder.out'] = pointnet(
+        'simple_encoder', lambda h: h.max(axis=2))
+    cm = sd['preshape.get_offsets.channel_mapper.weight'][..., 0]  # (3, E)
+    acts['preshape.get_offsets.in0'] = center
+    acts['preshape.get_offsets.in1'] = cluster
+    acts['preshape.get_offsets.out'] = pointnet(
+        'get_offsets', lambda h: h.mean(axis=2)) @ cm.T
+
+    # --- 2D backbone: converted-weight replay (NCHW contract)
+    img = rng.randn(1, 3, 32, 32).astype(np.float32)
+    acts['backbone.in0'] = img
+    outs = parity_mod._replay_backbone(variables, acts)
+    for i, o in enumerate(outs):
+        acts[f'backbone.out{i}'] = o
+
+    # --- sparse stem: independent numpy dict-conv oracle on a voxel
+    # set with negative coords (exercises the even-origin shift)
+    nv = 40
+    coords = rng.randint(-6, 7, (nv, 3))
+    coords = np.unique(coords, axis=0)
+    feats = rng.randn(len(coords), 3).astype(np.float32)
+    in_c = np.concatenate([np.zeros((len(coords), 1), int), coords], 1)
+    table = {tuple(c): f for c, f in zip(map(tuple, coords), feats)}
+    w = np.asarray(variables['params']['backbone_3d']['conv1']['kernel'])
+    from proxytransformation_tpu.ops.sparse import kernel_offsets
+    offs = kernel_offsets(3)
+    parents = np.unique(np.floor(coords / 2).astype(int), axis=0)
+    out_feats = np.zeros((len(parents), w.shape[-1]), np.float32)
+    for pi, p in enumerate(parents):
+        for ki, off in enumerate(offs):
+            src = tuple(p * 2 + off)
+            if src in table:
+                out_feats[pi] += table[src] @ w[ki]
+    acts['backbone_3d.stem.in_coords'] = in_c
+    acts['backbone_3d.stem.in_feats'] = feats
+    acts['backbone_3d.stem.out_coords'] = np.concatenate(
+        [np.zeros((len(parents), 1), int), parents * 2], 1)  # ME units
+    acts['backbone_3d.stem.out_feats'] = out_feats
+
+    # --- decoder: converted-weight replay round-trip
+    Q, P, L, De = 4, 12, 6, 16
+    acts['decoder.query'] = rng.randn(1, Q, De).astype(np.float32)
+    acts['decoder.key'] = rng.randn(1, P, De).astype(np.float32)
+    kpm = np.zeros((1, P), bool)
+    kpm[0, -2:] = True
+    acts['decoder.key_padding_mask'] = kpm
+    acts['decoder.query_coords'] = rng.randn(1, Q, 3).astype(np.float32)
+    acts['decoder.key_coords'] = rng.randn(1, P, 3).astype(np.float32)
+    acts['decoder.pred_bboxes'] = np.concatenate(
+        [rng.randn(1, Q, 3), np.abs(rng.randn(1, Q, 3)) + 0.3,
+         0.1 * rng.randn(1, Q, 3)], -1).astype(np.float32)
+    acts['decoder.text_feats'] = rng.randn(1, L, De).astype(np.float32)
+    acts['decoder.text_attention_mask'] = np.zeros((1, L), bool)
+    hidden, boxes = parity_mod._replay_decoder(variables, acts)
+    acts['decoder.out'] = hidden
+    acts['decoder.out_bboxes'] = boxes
+
+    npz = tmp_path / 'acts.npz'
+    np.savez(str(npz), **acts)
+    results = check_parity(str(pth), str(npz), atol=2e-3, report=None)
+    by_name = {r[0]: r for r in results}
+    expect = {'preshape.simple_encoder', 'preshape.get_offsets',
+              'backbone_3d.stem', 'decoder', 'backbone.out0',
+              'backbone.out3'}
+    for name in expect:
+        assert name in by_name, (name, sorted(by_name))
+        assert by_name[name][2], by_name[name]
+
+    # --- loud-skip guard: unknown recorded modules fail the run
+    acts['mystery_module.in0'] = np.zeros(3, np.float32)
+    acts['mystery_module.out'] = np.zeros(3, np.float32)
+    np.savez(str(npz), **acts)
+    results = check_parity(str(pth), str(npz), atol=2e-3, report=None)
+    skipped = [r for r in results if r[0] == 'mystery_module']
+    assert skipped and not skipped[0][2], results
