@@ -172,6 +172,21 @@ class Runner:
                 out[k] = v
         return out, real
 
+    def _ema(self):
+        """Opt-in ExpMomentumEMA hook from `custom_hooks` (mmengine
+        style: dict(type='EMAHook', ema_type='ExpMomentumEMA',
+        momentum=..., gamma=...); reference models/layers/ema.py:
+        123-189)."""
+        for hook in self.cfg.get('custom_hooks', []) or []:
+            t = hook.get('type', '')
+            if t in ('EMAHook', 'ExpMomentumEMA') or \
+                    hook.get('ema_type') == 'ExpMomentumEMA':
+                from ..models.misc import ExpMomentumEMA
+                return ExpMomentumEMA(
+                    momentum=hook.get('momentum', 0.0002),
+                    gamma=hook.get('gamma', 2000))
+        return None
+
     def _init_state(self, batch, mesh=None):
         import optax
         variables = self.model.init(jax.random.PRNGKey(
@@ -190,7 +205,8 @@ class Runner:
             clip_norm=self.cfg.get('optim_wrapper', {}).get(
                 'clip_grad', {}).get('max_norm', 10.0),
             schedule=sched)
-        state = create_train_state(self.model, variables, self.tx)
+        state = create_train_state(self.model, variables, self.tx,
+                                   with_ema=self._ema() is not None)
 
         load_from = self.cfg.get('load_from')
         if load_from and os.path.exists(load_from):
@@ -231,7 +247,8 @@ class Runner:
                                 'batches of epoch %d', start_iter,
                                 start_epoch)
 
-        step_fn = jax.jit(make_train_step(self.model, self.tx),
+        step_fn = jax.jit(make_train_step(self.model, self.tx,
+                                          ema=self._ema()),
                           donate_argnums=(0, ))
         rng = jax.random.PRNGKey(self.cfg.get('seed', 0) + 1)
 
@@ -343,6 +360,12 @@ class Runner:
                     'after train() for a meaningful metric')
 
         eval_fn = jax.jit(make_eval_step(self.model))
+        eval_state = self.state
+        if getattr(eval_state, 'ema_params', None) is not None:
+            # the EMA hook validates with the averaged weights
+            # (mmengine EMAHook swap; reference ema.py:123-189)
+            logger.info('validating with EMA-averaged weights')
+            eval_state = eval_state.replace(params=eval_state.ema_params)
         aug_metas = self._tta_metas() if tta else [None]
         for batch in loader:
             batch, _ = self._pad_batch(batch, bs)
@@ -352,7 +375,7 @@ class Runner:
                 aug = batch if meta is None else self._apply_tta_aug(
                     batch, meta)
                 dev_batch, host = self._split_batch(aug, self.val_mesh)
-                outs.append(jax.device_get(eval_fn(self.state, dev_batch)))
+                outs.append(jax.device_get(eval_fn(eval_state, dev_batch)))
             for b, ann in enumerate(host['eval_ann_info']):
                 if tta:
                     from ..models.tta import merge_aug_bboxes_3d

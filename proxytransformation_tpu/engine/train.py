@@ -28,6 +28,9 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # exponential-moving-average weights (reference ema.py:123-189);
+    # None unless the EMA hook is enabled (create_train_state with_ema)
+    ema_params: Any = None
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -88,15 +91,24 @@ def build_optimizer(params, base_lr: float = 5e-4,
     return tx
 
 
-def create_train_state(model, variables, tx) -> TrainState:
+def create_train_state(model, variables, tx,
+                       with_ema: bool = False) -> TrainState:
+    params = variables['params']
     return TrainState(step=jnp.zeros((), jnp.int32),
-                      params=variables['params'],
+                      params=params,
                       batch_stats=variables.get('batch_stats', {}),
-                      opt_state=tx.init(variables['params']))
+                      opt_state=tx.init(params),
+                      ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                                  if with_ema else None))
 
 
-def make_train_step(model, tx) -> Callable:
-    """One optimizer step; jit (optionally with shardings) at call site."""
+def make_train_step(model, tx, ema=None) -> Callable:
+    """One optimizer step; jit (optionally with shardings) at call site.
+
+    `ema`: optional `models.misc.ExpMomentumEMA` — when given (and the
+    state was created `with_ema=True`), the step also advances the EMA
+    weight average (the reference's opt-in ExpMomentumEMA hook,
+    reference models/layers/ema.py:123-189)."""
 
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState,
                                                                  Dict]:
@@ -114,9 +126,13 @@ def make_train_step(model, tx) -> Callable:
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema_params = state.ema_params
+        if ema is not None and ema_params is not None:
+            ema_params = ema.update(ema_params, params, state.step)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state,
-                                  batch_stats=mutated['batch_stats'])
+                                  batch_stats=mutated['batch_stats'],
+                                  ema_params=ema_params)
         metrics = dict(losses)
         metrics['total_loss'] = total
         metrics['grad_norm'] = optax.global_norm(grads)

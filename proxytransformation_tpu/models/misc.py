@@ -35,8 +35,10 @@ class ExpMomentumEMA:
         self.momentum = momentum
         self.gamma = gamma
 
-    def update(self, ema_params, params, step: int):
-        m = (1 - self.momentum) * math.exp(
+    def update(self, ema_params, params, step):
+        # jnp-exp so `step` may be a traced array inside the jitted
+        # train step (engine/train.py::make_train_step wiring)
+        m = (1 - self.momentum) * jnp.exp(
             -(1 + step) / self.gamma) + self.momentum
         return jax.tree_util.tree_map(
             lambda e, p: (1 - m) * e + m * p, ema_params, params)

@@ -271,9 +271,15 @@ def build_neighbor_map(in_level: SparseLevel, out_level: SparseLevel,
     qc = ((cxy[..., 0] * ey + cxy[..., 1]) * ez + zc).astype(jnp.int32)
     qc = jnp.where(xy_ok & out_level.mask[:, :, None], qc, SENTINEL)
 
-    im, ic, ip = _batched_lookup_pmz(in_level.keys, qc.reshape(B, -1))
-    by_dz = {-1: im.reshape(qc.shape), 0: ic.reshape(qc.shape),
-             1: ip.reshape(qc.shape)}
+    # column-major query layout: each run of consecutive queries is one
+    # (dx, dy) column over consecutive (sorted) output voxels, so a
+    # merge-join tile's key window is a single narrow x-slab instead of
+    # the union of all K² column offsets (order is irrelevant to the
+    # XLA sort-join fallback)
+    qc_t = jnp.swapaxes(qc, 1, 2)                # (B, K2, V_out)
+    im, ic, ip = lookup_pmz(in_level.keys, qc_t.reshape(B, -1))
+    untr = lambda a: jnp.swapaxes(a.reshape(qc_t.shape), 1, 2)
+    by_dz = {-1: untr(im), 0: untr(ic), 1: untr(ip)}
 
     parts = []
     for j in range(kz):
@@ -284,6 +290,28 @@ def build_neighbor_map(in_level: SparseLevel, out_level: SparseLevel,
     nbr = jnp.stack(parts, axis=-1)              # (B, V_out, K2, kz)
     nbr = nbr.reshape(B, base.shape[1], k2 * kz)
     return jnp.where(out_level.mask[:, :, None], nbr, -1)
+
+
+def lookup_pmz(keys: jnp.ndarray, queries: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(q-1, q, q+1) index lookup with backend dispatch.
+
+    On TPU: the Pallas merge-join stream (ops/merge_join_pallas.py) —
+    both sides are already sorted, so the join is a windowed linear
+    merge at compare bandwidth instead of O(n log² n) bitonic passes.
+    CPU falls back to the XLA sort-join."""
+    if jax.default_backend() not in ('cpu', ):
+        from .merge_join_pallas import lookup_pmz_stream
+        return lookup_pmz_stream(keys, queries)
+    return _batched_lookup_pmz(keys, queries)
+
+
+def lookup_center(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """Exact-match index lookup with backend dispatch (see lookup_pmz)."""
+    if jax.default_backend() not in ('cpu', ):
+        from .merge_join_pallas import lookup_stream
+        return lookup_stream(keys, queries)
+    return _batched_lookup(keys, queries)
 
 
 def _batched_lookup(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
@@ -547,7 +575,7 @@ def generative_transpose_map(fine: SparseLevel,
     off = fine.coords - parent * 2  # each in {0,1}
     off_id = (off[..., 0] * 2 + off[..., 1]) * 2 + off[..., 2]  # (B, V_f)
     pkeys = jnp.where(fine.mask, linearize(parent, coarse.extent), SENTINEL)
-    parent_idx = _batched_lookup(coarse.keys, pkeys)
+    parent_idx = lookup_center(coarse.keys, pkeys)
     return parent_idx, off_id.astype(jnp.int32)
 
 

@@ -323,3 +323,57 @@ def test_bbox3d_result_transforms():
 
     res = bbox3d2result(np.zeros((2, 9)), np.ones(2), np.zeros(2, np.int64))
     assert set(res) == {'bboxes_3d', 'scores_3d', 'labels_3d'}
+
+
+def test_ema_train_step_hook():
+    """Opt-in ExpMomentumEMA advances the weight average inside the
+    jitted train step (reference models/layers/ema.py:123-189)."""
+    import flax.linen as nn
+    import jax
+    import math
+    from proxytransformation_tpu.engine.train import (
+        build_optimizer, create_train_state, make_train_step)
+    from proxytransformation_tpu.models.misc import ExpMomentumEMA
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, batch, mode='loss', train=False):
+            y = nn.Dense(1, name='fc')(batch['x'])
+            self.variable('batch_stats', 'dummy', lambda: jnp.zeros(()))
+            return {'loss': jnp.mean(jnp.square(y))}
+
+    model = Toy()
+    batch = {'x': jnp.ones((2, 3))}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    tx = build_optimizer(variables['params'])
+    ema = ExpMomentumEMA(momentum=0.1, gamma=5)
+    state = create_train_state(model, variables, tx, with_ema=True)
+    assert state.ema_params is not None
+    step_fn = jax.jit(make_train_step(model, tx, ema=ema))
+    rng = jax.random.PRNGKey(1)
+
+    p0 = state.params['fc']['kernel']
+    state1, _ = step_fn(state, batch, rng)
+    m0 = (1 - 0.1) * math.exp(-1 / 5) + 0.1
+    expect = (1 - m0) * p0 + m0 * state1.params['fc']['kernel']
+    np.testing.assert_allclose(np.asarray(state1.ema_params['fc']['kernel']),
+                               np.asarray(expect), rtol=1e-5)
+    # without the hook, ema stays None
+    state_off = create_train_state(model, variables, tx)
+    step_off = jax.jit(make_train_step(model, tx))
+    s2, _ = step_off(state_off, batch, rng)
+    assert s2.ema_params is None
+
+
+def test_runner_ema_config_detection():
+    from proxytransformation_tpu.engine.runner import Runner
+    r = Runner.__new__(Runner)
+    r.cfg = {'custom_hooks': [
+        {'type': 'EMAHook', 'ema_type': 'ExpMomentumEMA',
+         'momentum': 0.001, 'gamma': 100}]}
+    ema = r._ema()
+    assert ema is not None and ema.momentum == 0.001 and ema.gamma == 100
+    r.cfg = {'custom_hooks': []}
+    assert r._ema() is None
+    r.cfg = {}
+    assert r._ema() is None
