@@ -167,18 +167,22 @@ class GroundingHead(nn.Module):
         """
         all_cls = self(hidden_states, text_feats, text_token_mask)
         L = all_cls.shape[0]
-        losses = {}
-        for lid in range(L):
-            lc, lb = self._loss_single(all_cls[lid],
-                                       all_layers_pred_bboxes[lid],
-                                       text_token_mask, gt_bboxes, gt_masks,
-                                       positive_maps, query_mask, axis_name)
-            if lid == L - 1:
-                losses['loss_cls'] = lc
-                losses['loss_bbox'] = lb
-            else:
-                losses[f'd{lid}.loss_cls'] = lc
-                losses[f'd{lid}.loss_bbox'] = lb
+
+        # ONE vmapped loss body over the decoder-layer axis instead of
+        # L python-unrolled copies: the matching stack (exact IoU,
+        # costs, Hungarian DP) appears once in the HLO (~7x smaller
+        # loss graph, the XLA compile-memory bottleneck at B=6) and
+        # runs batched instead of sequentially.
+        def one_layer(cls_l, boxes_l):
+            return self._loss_single(cls_l, boxes_l, text_token_mask,
+                                     gt_bboxes, gt_masks, positive_maps,
+                                     query_mask, axis_name)
+
+        lc, lb = jax.vmap(one_layer)(all_cls, all_layers_pred_bboxes)
+        losses = {'loss_cls': lc[L - 1], 'loss_bbox': lb[L - 1]}
+        for lid in range(L - 1):
+            losses[f'd{lid}.loss_cls'] = lc[lid]
+            losses[f'd{lid}.loss_bbox'] = lb[lid]
         return losses
 
     def _loss_single(self, cls_scores, pred_bboxes, text_token_mask,

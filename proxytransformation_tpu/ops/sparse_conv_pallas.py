@@ -176,7 +176,7 @@ def _pick_kg(k3: int, c_in: int, c_out: int) -> int:
                    static_argnames=('interpret', 'tile', 'chunk'))
 def sparse_conv_gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray,
                             weights: jnp.ndarray, out_mask: jnp.ndarray,
-                            interpret: bool = False,
+                            interpret: bool = None,
                             tile: int = 0, chunk: int = 0) -> jnp.ndarray:
     """Drop-in replacement for ops.sparse.sparse_conv_apply.
 
@@ -194,6 +194,8 @@ def sparse_conv_gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray,
     B, V_out, K3 = nbr.shape
     C_out = weights.shape[-1]
     in_dtype = feats.dtype
+    if interpret is None:  # the bwd invokes this on whatever backend
+        interpret = jax.default_backend() == 'cpu'
 
     # Tuned on v5e (2026-08, tile/chunk scan at stage shapes): small
     # tiles cut the one-hot gather-matmul FLOPs (∝ tile-window overlap)
@@ -265,6 +267,401 @@ def sparse_conv_gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray,
             transcendentals=0),
         interpret=interpret,
     )(ulo, nch, nbr_p, feats_p, weights)
+
+    out = out[:, :V_out]
+    return jnp.where(out_mask[..., None], out, 0.0).astype(in_dtype)
+
+
+# --------------------------------------------------------------------------
+# dW kernel: the transposed problem, same monotone windows
+# --------------------------------------------------------------------------
+def _make_dw_kernel(tile: int, kg: int, n_og: int, chunk: int):
+    """dW[k] = Σ_{b,v} feats[nbr[b,v,k]] ⊗ g[b,v], per offset group.
+
+    Same gather machinery as the forward, with PER-GROUP windows
+    (groups of kz consecutive offsets are (dx, dy) columns — the
+    z-fold property makes their windows ~K3/kz× narrower than the
+    all-offset union) and the matmul order flipped: per chunk and
+    offset, the one-hot SCATTERS the g tile into chunk-row space (rows
+    are disjoint because v ↦ nbr[v,k] is injective per offset — exact),
+    then a single (C_in × CHUNK) @ (CHUNK × C_out) contraction
+    accumulates into the resident (kg, C_in, C_out) f32 output block.
+    The offset-group axis is the OUTERMOST grid dim so the output block
+    stays in VMEM across all (b, tile) steps.
+    """
+    CHUNK = chunk
+
+    def _dw_kernel(ulo_ref,     # scalar prefetch: (B, n_tiles, n_og)
+                   nch_ref,     # scalar prefetch: (B, n_tiles, n_og)
+                   nbr_ref,     # (1, TILE, K3) int32 block
+                   g_ref,       # (1, TILE, C_out) bf16 block
+                   feats_ref,   # (B, V_in_pad, C_in) bf16 in ANY/HBM
+                   dw_ref,      # (KG, C_in, C_out) f32 block, revisited
+                   buf,         # VMEM (NSLOTS, CHUNK, C_in) bf16
+                   st,          # SMEM (6,) pipeline state
+                   sem):        # DMA sems (NSLOTS,)
+        og = pl.program_id(0)
+        b = pl.program_id(1)
+        t = pl.program_id(2)
+        n_b, n_t = pl.num_programs(1), pl.num_programs(2)
+
+        @pl.when((b == 0) & (t == 0))
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        idx_all = nbr_ref[0]                      # (TILE, K3)
+        lane = jax.lax.broadcasted_iota(jnp.int32, idx_all.shape, 1)
+
+        def produce_one(_=None):
+            # producer walks (og, b, t, c): each og pass re-streams the
+            # same windows; st[_PG] tracks og so exhaustion is exact
+            pg, pb, pt, pc = st[_PG], st[_PB], st[_PT], st[_PC]
+
+            @pl.when(pg < n_og)
+            def _():
+                base = ulo_ref[pb, pt, pg] + pc * CHUNK
+                slot = jax.lax.rem(st[_PCNT], NSLOTS)
+                pltpu.make_async_copy(
+                    feats_ref.at[pb, pl.ds(pl.multiple_of(base, ALIGN),
+                                           CHUNK), :],
+                    buf.at[slot], sem.at[slot]).start()
+                st[_PCNT] = st[_PCNT] + 1
+                nxt_pc = pc + 1
+                done_w = nxt_pc >= nch_ref[pb, pt, pg]
+                st[_PC] = jnp.where(done_w, 0, nxt_pc)
+                nxt_pt = jnp.where(done_w, pt + 1, pt)
+                done_t = nxt_pt >= n_t
+                st[_PT] = jnp.where(done_t, 0, nxt_pt)
+                nxt_pb = jnp.where(done_t, pb + 1, pb)
+                done_b = nxt_pb >= n_b
+                st[_PB] = jnp.where(done_b, 0, nxt_pb)
+                st[_PG] = jnp.where(done_b, pg + 1, pg)
+
+        @pl.when((og == 0) & (b == 0) & (t == 0))
+        def _():
+            for i in range(6):
+                st[i] = 0
+            for _ in range(AHEAD + 1):
+                produce_one()
+
+        ulo = ulo_ref[b, t, og]
+        nch = nch_ref[b, t, og]
+        g_tile = g_ref[0]                         # (TILE, C_out) bf16
+
+        def body(c, _):
+            slot = jax.lax.rem(st[_CONS], NSLOTS)
+            base = ulo + c * CHUNK
+            pltpu.make_async_copy(
+                feats_ref.at[b, pl.ds(pl.multiple_of(base, ALIGN),
+                                      CHUNK), :],
+                buf.at[slot], sem.at[slot]).wait()
+            st[_CONS] = st[_CONS] + 1
+            produce_one()
+
+            chunk_bf = buf[slot]                  # (CHUNK, C_in) bf16
+            iota_ch = jax.lax.broadcasted_iota(jnp.int32, (tile, CHUNK), 1)
+            for j in range(kg):                   # static unroll
+                idx = jnp.max(
+                    jnp.where(lane == og * kg + j, idx_all,
+                              jnp.int32(-2**31 + 1)), axis=1)  # (TILE,)
+                onehot = ((idx - base)[:, None] == iota_ch).astype(
+                    jnp.bfloat16)                 # (TILE, CHUNK)
+                # scatter g rows into chunk-row space (disjoint -> exact)
+                sc = jax.lax.dot_general(
+                    onehot, g_tile, (((0, ), (0, )), ((), ())),
+                    preferred_element_type=jnp.float32)  # (CHUNK, C_out)
+                dw_ref[j] += jax.lax.dot_general(
+                    chunk_bf, sc.astype(jnp.bfloat16),
+                    (((0, ), (0, )), ((), ())),
+                    preferred_element_type=jnp.float32)  # (C_in, C_out)
+            return 0
+
+        jax.lax.fori_loop(0, nch, body, 0)
+
+    return _dw_kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'tile', 'chunk'))
+def sparse_conv_dw_gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray,
+                               g: jnp.ndarray, out_mask: jnp.ndarray,
+                               interpret: bool = None,
+                               tile: int = 0, chunk: int = 0
+                               ) -> jnp.ndarray:
+    """Weight gradient of the sparse conv, one Pallas pass.
+
+    Replaces the XLA scan of 27 row-gathers + einsums in the conv
+    backward (the train-step HBM hog). Args as the forward kernel, plus
+    g: (B, V_out, C_out) output cotangent. Returns (K3, C_in, C_out)
+    f32. Padded C_in rows are sliced off; misses and masked outputs
+    contribute zero exactly as in the XLA formulation.
+    """
+    B, V_out, K3 = nbr.shape
+    C_out = g.shape[-1]
+    C_in_orig = feats.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() == 'cpu'
+
+    tile = tile or 256
+    CHUNK = chunk or 512
+
+    g = jnp.where(out_mask[..., None], g, 0.0)
+    feats = _pad_to(feats.astype(jnp.bfloat16), 128, axis=2)
+    C_in = feats.shape[-1]
+    # prefer (dx, dy)-column groups: their windows are ~K3/kz× narrower
+    # (z-fold); fall back to the VMEM-budget grouping otherwise
+    kz = int(round(K3 ** (1. / 3)))
+    if K3 > 1 and K3 % kz == 0 and kz * C_in * C_out * 4 <= 6 * 2**20:
+        kg = kz
+    else:
+        kg = _pick_kg(K3, C_in, C_out)
+    n_og = K3 // kg
+
+    nbr_p = _pad_to(nbr, tile, axis=1)
+    Vp = nbr_p.shape[1]
+    n_tiles = Vp // tile
+    g_p = _pad_to(g.astype(jnp.bfloat16), tile, axis=1)
+
+    # per-(tile, offset-group) windows
+    tiled = nbr_p.reshape(B, n_tiles, tile, n_og, kg)
+    big = np.int32(2**31 - 1)
+    ulo = jnp.min(jnp.where(tiled >= 0, tiled, big), axis=(2, 4))
+    ulo = jnp.where(ulo == big, 0, ulo).astype(jnp.int32)
+    ulo = ulo & ~jnp.int32(ALIGN - 1)              # (B, nt, n_og)
+    uhi = jnp.max(tiled, axis=(2, 4))
+    nch = jnp.maximum(-(-(jnp.maximum(uhi - ulo + 1, 0)) // CHUNK),
+                      1).astype(jnp.int32)
+
+    feats_p = _pad_to(feats, CHUNK, axis=1)
+    feats_p = jnp.pad(feats_p, ((0, 0), (0, 2 * CHUNK), (0, 0)))
+
+    grid = (n_og, B, n_tiles)
+    dw = pl.pallas_call(
+        _make_dw_kernel(tile, kg, n_og, CHUNK),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tile, K3),
+                             lambda og, b, t, lo_r, nch_r: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, C_out),
+                             lambda og, b, t, lo_r, nch_r: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((kg, C_in, C_out),
+                                   lambda og, b, t, lo_r, nch_r: (og, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((NSLOTS, CHUNK, C_in), jnp.bfloat16),
+                pltpu.SMEM((6, ), jnp.int32),
+                pltpu.SemaphoreType.DMA((NSLOTS, )),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((K3, C_in, C_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'), ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Vp * K3 * C_out * (C_in + CHUNK),
+            bytes_accessed=n_og * B * Vp * C_in * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(ulo, nch, nbr_p, g_p, feats_p)
+
+    return dw[:, :C_in_orig]
+
+
+# --------------------------------------------------------------------------
+# column-window variant: per-(dx,dy) DMA windows
+# --------------------------------------------------------------------------
+def _make_colwin_kernel(tile: int, kz: int, chunk: int):
+    """Forward conv with PER-COLUMN windows.
+
+    kernel_offsets orders z fastest, so the kz offsets of one (dx, dy)
+    column are consecutive map lanes AND consecutive key shifts — their
+    shared window is ~K3/kz× narrower than the all-offset union (the
+    z-fold property; measured 9.2× at stage-1 model shapes on scattered
+    occupancy). Grid adds a column dim: each (b, tile, col) step streams
+    only that column's window and runs kz one-hot gather-GEMMs, cutting
+    the dominant one-hot FLOPs ∝ window size. Output block (b, t) stays
+    resident across the col dim (innermost); weights arrive as (kz,
+    C_in, C_out) blocks, ≤1.5 MB even at 512², so no offset-group
+    splitting is ever needed.
+    """
+    CHUNK = chunk
+
+    def _kernel(ulo_ref,     # scalar prefetch: (B, n_tiles, n_cols)
+                nch_ref,     # scalar prefetch: (B, n_tiles, n_cols)
+                nbr_ref,     # (1, TILE, K3) int32 block (per tile)
+                feats_ref,   # (B, V_in_pad, C_in) bf16 in ANY/HBM
+                w_ref,       # (kz, C_in, C_out) bf16 block (per col)
+                out_ref,     # (1, TILE, C_out) f32 block, revisited
+                buf,         # VMEM (NSLOTS, CHUNK, C_in) bf16
+                st,          # SMEM (6,) pipeline state
+                sem):        # DMA sems (NSLOTS,)
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        col = pl.program_id(2)
+        n_b, n_t, n_c = (pl.num_programs(0), pl.num_programs(1),
+                         pl.num_programs(2))
+
+        @pl.when(col == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        idx_all = nbr_ref[0]                      # (TILE, K3)
+        lane = jax.lax.broadcasted_iota(jnp.int32, idx_all.shape, 1)
+
+        def produce_one(_=None):
+            pb, pt, pg, pc = st[_PB], st[_PT], st[_PG], st[_PC]
+
+            @pl.when(pb < n_b)
+            def _():
+                base = ulo_ref[pb, pt, pg] + pc * CHUNK
+                slot = jax.lax.rem(st[_PCNT], NSLOTS)
+                pltpu.make_async_copy(
+                    feats_ref.at[pb, pl.ds(pl.multiple_of(base, ALIGN),
+                                           CHUNK), :],
+                    buf.at[slot], sem.at[slot]).start()
+                st[_PCNT] = st[_PCNT] + 1
+                nxt_pc = pc + 1
+                done_w = nxt_pc >= nch_ref[pb, pt, pg]
+                st[_PC] = jnp.where(done_w, 0, nxt_pc)
+                nxt_pg = jnp.where(done_w, pg + 1, pg)
+                done_g = nxt_pg >= n_c
+                st[_PG] = jnp.where(done_g, 0, nxt_pg)
+                nxt_pt = jnp.where(done_g, pt + 1, pt)
+                done_t = nxt_pt >= n_t
+                st[_PT] = jnp.where(done_t, 0, nxt_pt)
+                st[_PB] = jnp.where(done_t, pb + 1, pb)
+
+        @pl.when((b == 0) & (t == 0) & (col == 0))
+        def _():
+            for i in range(6):
+                st[i] = 0
+            for _ in range(AHEAD + 1):
+                produce_one()
+
+        ulo = ulo_ref[b, t, col]
+        nch = nch_ref[b, t, col]
+
+        def body(c, _):
+            slot = jax.lax.rem(st[_CONS], NSLOTS)
+            base = ulo + c * CHUNK
+            pltpu.make_async_copy(
+                feats_ref.at[b, pl.ds(pl.multiple_of(base, ALIGN),
+                                      CHUNK), :],
+                buf.at[slot], sem.at[slot]).wait()
+            st[_CONS] = st[_CONS] + 1
+            produce_one()
+
+            chunk_bf = buf[slot]                  # (CHUNK, C_in) bf16
+            iota_ch = jax.lax.broadcasted_iota(jnp.int32, (tile, CHUNK), 1)
+            for j in range(kz):                   # static unroll
+                idx = jnp.max(
+                    jnp.where(lane == col * kz + j, idx_all,
+                              jnp.int32(-2**31 + 1)), axis=1)  # (TILE,)
+                onehot = ((idx - base)[:, None] == iota_ch).astype(
+                    jnp.bfloat16)
+                g = jax.lax.dot(onehot, chunk_bf,
+                                preferred_element_type=jnp.float32)
+                out_ref[0] += jax.lax.dot(
+                    g.astype(jnp.bfloat16), w_ref[0, j],
+                    preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, nch, body, 0)
+
+    return _kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'tile', 'chunk', 'kz'))
+def sparse_conv_gather_gemm_colwin(feats: jnp.ndarray, nbr: jnp.ndarray,
+                                   weights: jnp.ndarray,
+                                   out_mask: jnp.ndarray,
+                                   interpret: bool = None,
+                                   tile: int = 0, chunk: int = 0,
+                                   kz: int = 0) -> jnp.ndarray:
+    """Column-window sparse conv (see _make_colwin_kernel).
+
+    kz is the kernel z-extent (offsets per column); defaults to
+    round(K3^(1/3)) — 3 for k3 maps, 2 for k2 pool maps. Falls back on
+    the union-window kernel when K3 has no column structure.
+    """
+    B, V_out, K3 = nbr.shape
+    C_out = weights.shape[-1]
+    in_dtype = feats.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == 'cpu'
+
+    kz = kz or int(round(K3 ** (1. / 3)))
+    if K3 == 1 or K3 % kz != 0:
+        return sparse_conv_gather_gemm(feats, nbr, weights, out_mask,
+                                       interpret=interpret, tile=tile,
+                                       chunk=chunk)
+    n_cols = K3 // kz
+
+    tile = tile or 256
+    CHUNK = chunk or 512
+
+    feats = _pad_to(feats.astype(jnp.bfloat16), 128, axis=2)
+    weights = _pad_to(weights.astype(jnp.bfloat16), 128, axis=1)
+    C_in = feats.shape[-1]
+
+    nbr_p = _pad_to(nbr, tile, axis=1)
+    Vp = nbr_p.shape[1]
+    n_tiles = Vp // tile
+
+    # per-(tile, column) windows
+    tiled = nbr_p.reshape(B, n_tiles, tile, n_cols, kz)
+    big = np.int32(2**31 - 1)
+    ulo = jnp.min(jnp.where(tiled >= 0, tiled, big), axis=(2, 4))
+    ulo = jnp.where(ulo == big, 0, ulo).astype(jnp.int32)
+    ulo = ulo & ~jnp.int32(ALIGN - 1)                  # (B, nt, n_cols)
+    uhi = jnp.max(tiled, axis=(2, 4))
+    nch = jnp.maximum(-(-(jnp.maximum(uhi - ulo + 1, 0)) // CHUNK),
+                      1).astype(jnp.int32)
+
+    feats_p = _pad_to(feats, CHUNK, axis=1)
+    feats_p = jnp.pad(feats_p, ((0, 0), (0, 2 * CHUNK), (0, 0)))
+
+    w_cols = weights.reshape(n_cols, kz, C_in, C_out)
+
+    grid = (B, n_tiles, n_cols)
+    out = pl.pallas_call(
+        _make_colwin_kernel(tile, kz, CHUNK),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tile, K3),
+                             lambda b, t, c, lo_r, nch_r: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, kz, C_in, C_out),
+                             lambda b, t, c, lo_r, nch_r: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile, C_out),
+                                   lambda b, t, c, lo_r, nch_r: (b, t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((NSLOTS, CHUNK, C_in), jnp.bfloat16),
+                pltpu.SMEM((6, ), jnp.int32),
+                pltpu.SemaphoreType.DMA((NSLOTS, )),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Vp, C_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'), ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Vp * K3 * C_in * (C_out + CHUNK),
+            bytes_accessed=B * Vp * C_in * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(ulo, nch, nbr_p, feats_p, w_cols)
 
     out = out[:, :V_out]
     return jnp.where(out_mask[..., None], out, 0.0).astype(in_dtype)
