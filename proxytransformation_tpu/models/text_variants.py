@@ -16,15 +16,17 @@ an attention mask. Flax implementations here share that contract:
   reference's default t_type).
 * `T5TextEncoder` — encoder stack with RMSNorm, bias-free dense layers
   and bucketed relative position bias (covers 't5-small/base/...').
-* CLIP / open_clip towers reuse `CLIPTextEncoder` (text_encoder.py)
-  with per-variant width/layers/heads (open_clip towers are the same
-  architecture at different sizes).
+* `DebertaTextEncoder` — DeBERTa v1 with real disentangled attention
+  (c2p + p2c relative-position terms against a shared rel_embeddings
+  table; covers 'deberta-base/large', HF-parity tested).
+* HF CLIP towers reuse `CLIPTextEncoder` (text_encoder.py); open_clip
+  towers (ViT-bigG/H-14, EVA02) get `OpenCLIPTextEncoder`, which
+  reproduces the reference's monkey-patched token-level encode_text:
+  causal-only attention (no pad mask), exact-GELU MLPs, ln_final
+  features with no pooling/projection/normalize.
 
 `build_text_encoder(t_type)` mirrors the reference's string dispatch;
-HF-weight converters follow each class. DeBERTa's disentangled
-attention is approximated by `BertTextEncoder` at parity width — its
-relative-position attention terms are not reproduced (documented gap;
-no flagship config uses it).
+HF/open_clip-layout weight converters follow each class.
 """
 from __future__ import annotations
 
@@ -32,6 +34,7 @@ import re
 from typing import Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -213,16 +216,193 @@ class T5TextEncoder(nn.Module):
 # --------------------------------------------------------------------------
 # t_type dispatch (reference :131-277)
 # --------------------------------------------------------------------------
+# DeBERTa v1: disentangled attention
+# (reference dispatch: sparse_featfusion_grounder_preshape.py:146-148)
+# --------------------------------------------------------------------------
+class _DisentangledAttention(nn.Module):
+    """HF DebertaModel's DisentangledSelfAttention (c2p + p2c).
+
+    Scores = qᵀk/√(3d) + c2p + p2c, where c2p gathers q·pos_key at the
+    clamped relative position r = i−j and p2c gathers k·pos_query at −r
+    (both projections read the encoder-shared rel_embeddings table).
+    """
+    heads: int
+    max_rel: int = 512
+
+    @nn.compact
+    def __call__(self, x, pad_mask, rel_emb):
+        B, L, C = x.shape
+        hd = C // self.heads
+        split = lambda t: t.reshape(*t.shape[:-1], self.heads,
+                                    hd).swapaxes(-3, -2)
+        q = split(nn.Dense(C, use_bias=False, name='q_proj')(x))
+        k = split(nn.Dense(C, use_bias=False, name='k_proj')(x))
+        v = split(nn.Dense(C, use_bias=False, name='v_proj')(x))
+        q_bias = self.param('q_bias', nn.initializers.zeros, (C, ))
+        v_bias = self.param('v_bias', nn.initializers.zeros, (C, ))
+        q = q + q_bias.reshape(self.heads, 1, hd)
+        v = v + v_bias.reshape(self.heads, 1, hd)
+
+        scale = jnp.sqrt(jnp.float32(hd * 3))  # scale_factor = 1+|{c2p,p2c}|
+        q = q / scale
+        scores = jnp.einsum('bhqd,bhkd->bhqk', q, k)
+
+        span = min(L, self.max_rel)
+        rel_slice = jax.lax.dynamic_slice_in_dim(
+            rel_emb, self.max_rel - span, 2 * span, axis=0)  # (2span, C)
+        rel = jnp.arange(L)[:, None] - jnp.arange(L)[None, :]  # i - j
+
+        # content→position
+        pos_key = split(nn.Dense(C, use_bias=False,
+                                 name='pos_proj')(rel_slice)[None])
+        c2p = jnp.einsum('bhqd,xhkd->bhqk', q, pos_key)  # (B,H,L,2span)
+        c2p_idx = jnp.clip(rel + span, 0, 2 * span - 1)
+        c2p = jnp.take_along_axis(
+            c2p, jnp.broadcast_to(c2p_idx[None, None], (B, self.heads, L, L)),
+            axis=-1)
+        # position→content
+        pos_q = split(nn.Dense(C, name='pos_q_proj')(rel_slice)[None]) / scale
+        p2c = jnp.einsum('bhkd,xhqd->bhkq', k, pos_q)    # (B,H,L,2span)
+        p2c_idx = jnp.clip(-rel + span, 0, 2 * span - 1)
+        p2c = jnp.take_along_axis(
+            p2c, jnp.broadcast_to(p2c_idx[None, None], (B, self.heads, L, L)),
+            axis=-1).swapaxes(-1, -2)
+        scores = scores + c2p + p2c
+
+        # pads masked along BOTH q and k (HF get_attention_mask)
+        m2 = pad_mask[:, None, None, :] & pad_mask[:, None, :, None]
+        scores = jnp.where(m2, scores, jnp.finfo(jnp.float32).min)
+        probs = nn.softmax(scores, axis=-1)
+        out = jnp.einsum('bhqk,bhkd->bhqd', probs, v)
+        out = out.swapaxes(1, 2).reshape(B, L, C)
+        return nn.Dense(C, name='output')(out)
+
+
+class _DebertaLayer(nn.Module):
+    heads: int
+    intermediate: int
+    max_rel: int
+
+    @nn.compact
+    def __call__(self, x, pad_mask, rel_emb):
+        a = _DisentangledAttention(self.heads, self.max_rel,
+                                   name='attention')(x, pad_mask, rel_emb)
+        x = nn.LayerNorm(epsilon=1e-7, name='attention_norm')(x + a)
+        h = nn.Dense(self.intermediate, name='intermediate')(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(x.shape[-1], name='output')(h)
+        return nn.LayerNorm(epsilon=1e-7, name='output_norm')(x + h)
+
+
+@MODELS.register_module()
+class DebertaTextEncoder(nn.Module):
+    """HF DebertaModel-compatible tower (v1 disentangled attention).
+
+    Matches microsoft/deberta-base|large: position_biased_input=False
+    (word embeddings only, mask-multiplied after LayerNorm), shared
+    rel_embeddings table, per-layer c2p+p2c disentangled bias.
+    """
+    vocab_size: int = 50265
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 3072
+    max_rel: int = 512
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray,
+                 attention_mask: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Embed(self.vocab_size, self.width,
+                     name='word_embeddings')(input_ids)
+        x = nn.LayerNorm(epsilon=1e-7, name='embeddings_norm')(x)
+        pad = attention_mask.astype(bool)
+        x = x * pad[..., None].astype(x.dtype)
+        rel_emb = self.param('rel_embeddings',
+                             nn.initializers.normal(0.02),
+                             (2 * self.max_rel, self.width))
+        for i in range(self.layers):
+            x = _DebertaLayer(self.heads, self.intermediate, self.max_rel,
+                              name=f'layer_{i}')(x, pad, rel_emb)
+        return x
+
+
+# --------------------------------------------------------------------------
+# open_clip towers (ViT-bigG/H, EVA02): the reference monkey-patches
+# encode_text to return ln_final token features with a CAUSAL-ONLY mask
+# (no padding mask — it calls text_encoder(input_ids) without the
+# attention mask) and exact-GELU MLPs (laion/EVA checkpoints), where the
+# HF CLIPTextModel path pads-masks and uses quick_gelu.
+# (reference sparse_featfusion_grounder_preshape.py:153-258,657-659)
+# --------------------------------------------------------------------------
+class _OpenCLIPBlock(nn.Module):
+    width: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        from .text_encoder import _CLIPAttention
+        h = nn.LayerNorm(name='ln_1')(x)
+        x = x + _CLIPAttention(self.width, self.heads, name='attn')(h, mask)
+        h = nn.LayerNorm(name='ln_2')(x)
+        h = nn.Dense(self.width * 4, name='c_fc')(h)
+        h = nn.gelu(h, approximate=False)      # torch nn.GELU (exact erf)
+        h = nn.Dense(self.width, name='c_proj')(h)
+        return x + h
+
+
+@MODELS.register_module()
+class OpenCLIPTextEncoder(nn.Module):
+    """open_clip TextTransformer with the reference's token-level patch.
+
+    Returns ln_final(x) per-token features — no pooling, no text
+    projection, no normalize (the reference calls forward with the
+    default normalize=False). attention_mask is accepted for interface
+    parity but deliberately unused: the reference passes only input_ids.
+    """
+    vocab_size: int = 49408
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    max_positions: int = 77
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray,
+                 attention_mask: jnp.ndarray = None) -> jnp.ndarray:
+        B, L = input_ids.shape
+        tok = nn.Embed(self.vocab_size, self.width,
+                       name='token_embedding')(input_ids)
+        pos = self.param('positional_embedding',
+                         nn.initializers.normal(0.01),
+                         (self.max_positions, self.width))
+        x = tok + pos[None, :L]
+        causal = jnp.triu(jnp.full((L, L), -1e9), k=1)[None, None]
+        for i in range(self.layers):
+            x = _OpenCLIPBlock(self.width, self.heads,
+                               name=f'resblock_{i}')(x, causal)
+        return nn.LayerNorm(name='ln_final')(x)
+
+
+# --------------------------------------------------------------------------
 _CLIP_SIZES = {
     # t_type fragment: (width, layers, heads)
     'clip-vit-base-patch32': (512, 12, 8),
     'clip-vit-base-patch16': (512, 12, 8),
     'clip-vit-large-patch14': (768, 12, 12),
     'clip-vit-large-patch14-336': (768, 12, 12),
-    # open_clip towers (same architecture, bigger dims)
-    'vit-h-14': (1024, 24, 16),
+}
+
+_OPEN_CLIP_SIZES = {
+    # open_clip text_cfg of each reference t_type (open_clip
+    # model_configs/{ViT-bigG-14,ViT-H-14,EVA02-L-14-336,EVA02-E-14-plus})
     'vit-bigg-14': (1280, 32, 20),
-    'eva02': (1024, 24, 16),
+    'vit-h-14': (1024, 24, 16),
+    'eva02-l-14-336': (768, 12, 12),
+    'eva02-e-14-plus': (1280, 32, 20),
+}
+
+_DEBERTA_SIZES = {
+    'deberta-base': (768, 12, 12, 3072),
+    'deberta-large': (1024, 24, 16, 4096),
 }
 
 
@@ -240,10 +420,19 @@ def build_text_encoder(t_type: str = 'clip-vit-large-patch14-336',
     if 'bert' in t and 'deberta' not in t:
         enc = BertTextEncoder(**overrides)
         return enc, enc.width
-    if 'flava' in t or 'deberta' in t:
-        # FLAVA's text tower is BERT-architecture; DeBERTa is served at
-        # parity width without disentangled attention (see module doc)
+    if 'flava' in t:
+        # FLAVA's text tower is BERT-architecture
         enc = BertTextEncoder(**overrides)
+        return enc, enc.width
+    if 'deberta' in t:
+        for k, (w, nl, nh, ff) in _DEBERTA_SIZES.items():
+            if k in t:
+                overrides.setdefault('width', w)
+                overrides.setdefault('layers', nl)
+                overrides.setdefault('heads', nh)
+                overrides.setdefault('intermediate', ff)
+                break
+        enc = DebertaTextEncoder(**overrides)
         return enc, enc.width
     if 't5' in t:
         sizes = {'t5-small': (512, 6, 8, 2048),
@@ -258,6 +447,14 @@ def build_text_encoder(t_type: str = 'clip-vit-large-patch14-336',
                 break
         enc = T5TextEncoder(**overrides)
         return enc, enc.width
+    for frag, (w, nl, nh) in sorted(_OPEN_CLIP_SIZES.items(),
+                                    key=lambda kv: -len(kv[0])):
+        if frag in t:
+            overrides.setdefault('width', w)
+            overrides.setdefault('layers', nl)
+            overrides.setdefault('heads', nh)
+            enc = OpenCLIPTextEncoder(**overrides)
+            return enc, enc.width
     for frag, (w, nl, nh) in sorted(_CLIP_SIZES.items(),
                                     key=lambda kv: -len(kv[0])):
         if frag in t:
@@ -271,7 +468,8 @@ def build_text_encoder(t_type: str = 'clip-vit-large-patch14-336',
         return enc, enc.width
     raise ValueError(
         f'unknown t_type {t_type!r}; supported: roberta*, bert*, flava*, '
-        f'deberta*, t5*, clip*, {sorted(_CLIP_SIZES)}')
+        f'deberta*, t5*, clip*, '
+        f'{sorted(_CLIP_SIZES) + sorted(_OPEN_CLIP_SIZES)}')
 
 
 # --------------------------------------------------------------------------
@@ -352,4 +550,120 @@ def convert_hf_t5_encoder(sd):
             True)
         put((dst, 'pre_ff_norm', 'scale'), sd[src + '1.layer_norm.weight'])
     put(('final_norm', 'scale'), sd['encoder.final_layer_norm.weight'])
+    return p
+
+
+def convert_open_clip_text(sd):
+    """open_clip CLIP/CustomTextCLIP state_dict (numpy) → flax params.
+
+    Handles both layouts: bare text-tower keys (ViT-bigG/H CLIP models)
+    and the 'text.'-prefixed CustomTextCLIP layout (EVA02 models). The
+    torch nn.MultiheadAttention packed in_proj ([q; k; v] stacked along
+    rows) is split into the three flax Dense kernels.
+    """
+    pre = 'text.' if any(k.startswith('text.token_embedding')
+                         for k in sd) else ''
+    p = {}
+
+    def put(path, val, transpose=False):
+        d = p
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = jnp.asarray(np.asarray(val).T if transpose
+                                  else np.asarray(val))
+
+    put(('token_embedding', 'embedding'), sd[pre + 'token_embedding.weight'])
+    put(('positional_embedding', ), sd[pre + 'positional_embedding'])
+    n_layers = max(
+        int(m.group(1)) for k in sd
+        if (m := re.search(re.escape(pre) + r'transformer\.resblocks\.(\d+)\.',
+                           k))) + 1
+    for i in range(n_layers):
+        src = f'{pre}transformer.resblocks.{i}.'
+        dst = f'resblock_{i}'
+        for ln in ('ln_1', 'ln_2'):
+            put((dst, ln, 'scale'), sd[src + ln + '.weight'])
+            put((dst, ln, 'bias'), sd[src + ln + '.bias'])
+        w = np.asarray(sd[src + 'attn.in_proj_weight'])   # (3C, C)
+        b = np.asarray(sd[src + 'attn.in_proj_bias'])     # (3C,)
+        C = w.shape[1]
+        for j, proj in enumerate(('q_proj', 'k_proj', 'v_proj')):
+            put((dst, 'attn', proj, 'kernel'), w[j * C:(j + 1) * C], True)
+            put((dst, 'attn', proj, 'bias'), b[j * C:(j + 1) * C])
+        put((dst, 'attn', 'out_proj', 'kernel'),
+            sd[src + 'attn.out_proj.weight'], True)
+        put((dst, 'attn', 'out_proj', 'bias'), sd[src + 'attn.out_proj.bias'])
+        for fc in ('c_fc', 'c_proj'):
+            put((dst, fc, 'kernel'), sd[src + 'mlp.' + fc + '.weight'], True)
+            put((dst, fc, 'bias'), sd[src + 'mlp.' + fc + '.bias'])
+    put(('ln_final', 'scale'), sd[pre + 'ln_final.weight'])
+    put(('ln_final', 'bias'), sd[pre + 'ln_final.bias'])
+    return p
+
+
+def convert_hf_deberta(sd, heads=None):
+    """HF DebertaModel state_dict (numpy) → flax params.
+
+    The HF in_proj packs q/k/v INTERLEAVED PER HEAD (transpose_for_scores
+    happens before the chunk(3): head i's rows are [3·i·hd, 3·(i+1)·hd)
+    split as q/k/v thirds); rows are de-interleaved into the three
+    per-tower kernels here. `heads` is needed for the de-interleave;
+    standard widths are inferred when omitted.
+    """
+    p = {}
+
+    def put(path, val, transpose=False):
+        d = p
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = jnp.asarray(np.asarray(val).T if transpose
+                                  else np.asarray(val))
+
+    put(('word_embeddings', 'embedding'),
+        sd['embeddings.word_embeddings.weight'])
+    put(('embeddings_norm', 'scale'), sd['embeddings.LayerNorm.weight'])
+    put(('embeddings_norm', 'bias'), sd['embeddings.LayerNorm.bias'])
+    put(('rel_embeddings', ), sd['encoder.rel_embeddings.weight'])
+    n_layers = max(
+        int(m.group(1)) for k in sd
+        if (m := re.search(r'encoder\.layer\.(\d+)\.', k))) + 1
+    C = np.asarray(sd['embeddings.word_embeddings.weight']).shape[1]
+    if heads is None:
+        heads = {768: 12, 1024: 16, 1536: 24}.get(C)
+    if heads is None:
+        raise ValueError(f'cannot infer head count for width {C}; '
+                         f'pass heads= explicitly')
+    hd = C // heads
+    for i in range(n_layers):
+        src = f'encoder.layer.{i}.'
+        dst = f'layer_{i}'
+        w = np.asarray(sd[src + 'attention.self.in_proj.weight'])  # (3C, C)
+        w = w.reshape(heads, 3, hd, C)
+        for j, proj in enumerate(('q_proj', 'k_proj', 'v_proj')):
+            put((dst, 'attention', proj, 'kernel'),
+                w[:, j].reshape(C, C), True)
+        put((dst, 'attention', 'q_bias'), sd[src + 'attention.self.q_bias'])
+        put((dst, 'attention', 'v_bias'), sd[src + 'attention.self.v_bias'])
+        put((dst, 'attention', 'pos_proj', 'kernel'),
+            sd[src + 'attention.self.pos_proj.weight'], True)
+        put((dst, 'attention', 'pos_q_proj', 'kernel'),
+            sd[src + 'attention.self.pos_q_proj.weight'], True)
+        put((dst, 'attention', 'pos_q_proj', 'bias'),
+            sd[src + 'attention.self.pos_q_proj.bias'])
+        put((dst, 'attention', 'output', 'kernel'),
+            sd[src + 'attention.output.dense.weight'], True)
+        put((dst, 'attention', 'output', 'bias'),
+            sd[src + 'attention.output.dense.bias'])
+        put((dst, 'attention_norm', 'scale'),
+            sd[src + 'attention.output.LayerNorm.weight'])
+        put((dst, 'attention_norm', 'bias'),
+            sd[src + 'attention.output.LayerNorm.bias'])
+        put((dst, 'intermediate', 'kernel'),
+            sd[src + 'intermediate.dense.weight'], True)
+        put((dst, 'intermediate', 'bias'), sd[src + 'intermediate.dense.bias'])
+        put((dst, 'output', 'kernel'), sd[src + 'output.dense.weight'], True)
+        put((dst, 'output', 'bias'), sd[src + 'output.dense.bias'])
+        put((dst, 'output_norm', 'scale'),
+            sd[src + 'output.LayerNorm.weight'])
+        put((dst, 'output_norm', 'bias'), sd[src + 'output.LayerNorm.bias'])
     return p

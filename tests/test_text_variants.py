@@ -121,3 +121,126 @@ def test_detector_t_type_field():
         SparseFeatureFusion3DGrounderPreshape)
     m = SparseFeatureFusion3DGrounderPreshape(t_type='roberta-base')
     assert m.t_type == 'roberta-base'
+
+
+# --------------------------------------------------------------------------
+# round 3: DeBERTa disentangled attention + open_clip towers
+# --------------------------------------------------------------------------
+def test_deberta_open_clip_dispatch():
+    from proxytransformation_tpu.models.text_variants import (
+        DebertaTextEncoder, OpenCLIPTextEncoder)
+    for t, w, nl, nh in [('ViT-bigG-14', 1280, 32, 20),
+                         ('ViT-H-14', 1024, 24, 16),
+                         ('EVA02-L-14-336', 768, 12, 12),
+                         ('EVA02-E-14-plus', 1280, 32, 20)]:
+        enc, width = build_text_encoder(t)
+        assert isinstance(enc, OpenCLIPTextEncoder)
+        assert (width, enc.layers, enc.heads) == (w, nl, nh), t
+    for t, w, nl in [('deberta-base', 768, 12), ('deberta-large', 1024, 24)]:
+        enc, width = build_text_encoder(t)
+        assert isinstance(enc, DebertaTextEncoder)
+        assert (width, enc.layers) == (w, nl), t
+
+
+def test_deberta_hf_parity():
+    """Tiny random-weight DebertaModel vs our flax tower, exact math."""
+    torch = pytest.importorskip('torch')
+    transformers = pytest.importorskip('transformers')
+    from proxytransformation_tpu.models.text_variants import (
+        DebertaTextEncoder, convert_hf_deberta)
+
+    cfg = transformers.DebertaConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=16, relative_attention=True,
+        max_relative_positions=-1, position_biased_input=False,
+        pos_att_type=['c2p', 'p2c'], type_vocab_size=0,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = transformers.DebertaModel(cfg).eval()
+
+    ids_np = np.random.RandomState(1).randint(3, 100, (2, 7))
+    mask_np = np.array([[1] * 7, [1, 1, 1, 1, 1, 0, 0]])
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids_np),
+                 attention_mask=torch.tensor(mask_np)
+                 ).last_hidden_state.numpy()
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_hf_deberta(sd, heads=4)
+    enc = DebertaTextEncoder(vocab_size=100, width=32, layers=2, heads=4,
+                             intermediate=64, max_rel=16)
+    out = enc.apply({'params': params}, jnp.asarray(ids_np),
+                    jnp.asarray(mask_np))
+    valid = mask_np[..., None].astype(bool)
+    np.testing.assert_allclose(np.where(valid, np.asarray(out), 0),
+                               np.where(valid, ref, 0), atol=2e-5)
+
+
+def _torch_open_clip_tower(torch, vocab, width, layers, heads, ctx):
+    """Reimplementation of open_clip's text tower with torch MHA —
+    same state-dict key layout as open_clip CLIP models."""
+    import collections
+    nn = torch.nn
+
+    class RB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = nn.LayerNorm(width)
+            self.attn = nn.MultiheadAttention(width, heads)
+            self.ln_2 = nn.LayerNorm(width)
+            self.mlp = nn.Sequential(collections.OrderedDict([
+                ('c_fc', nn.Linear(width, width * 4)),
+                ('gelu', nn.GELU()),
+                ('c_proj', nn.Linear(width * 4, width))]))
+
+        def forward(self, x, attn_mask):
+            a, _ = self.attn(self.ln_1(x), self.ln_1(x), self.ln_1(x),
+                             need_weights=False, attn_mask=attn_mask)
+            x = x + a
+            return x + self.mlp(self.ln_2(x))
+
+    class Tower(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.token_embedding = nn.Embedding(vocab, width)
+            self.positional_embedding = nn.Parameter(
+                0.01 * torch.randn(ctx, width))
+            self.transformer = nn.Module()
+            self.transformer.resblocks = nn.ModuleList(
+                [RB() for _ in range(layers)])
+            self.ln_final = nn.LayerNorm(width)
+
+        def forward(self, ids):
+            L = ids.shape[1]
+            x = self.token_embedding(ids) + self.positional_embedding[:L]
+            x = x.permute(1, 0, 2)
+            m = torch.triu(torch.full((L, L), float('-inf')), 1)
+            for rb in self.transformer.resblocks:
+                x = rb(x, m)
+            return self.ln_final(x.permute(1, 0, 2))
+
+    return Tower()
+
+
+@pytest.mark.parametrize('prefix', ['', 'text.'])
+def test_open_clip_converter_parity(prefix):
+    """Our OpenCLIPTextEncoder == torch-MHA open_clip tower, both key
+    layouts (bare CLIP and CustomTextCLIP 'text.'-prefixed)."""
+    torch = pytest.importorskip('torch')
+    from proxytransformation_tpu.models.text_variants import (
+        OpenCLIPTextEncoder, convert_open_clip_text)
+
+    torch.manual_seed(0)
+    tower = _torch_open_clip_tower(torch, vocab=100, width=32, layers=2,
+                                   heads=4, ctx=12).eval()
+    ids_np = np.random.RandomState(2).randint(0, 100, (2, 9))
+    with torch.no_grad():
+        ref = tower(torch.tensor(ids_np)).numpy()
+
+    sd = {prefix + k: v.numpy() for k, v in tower.state_dict().items()}
+    params = convert_open_clip_text(sd)
+    enc = OpenCLIPTextEncoder(vocab_size=100, width=32, layers=2, heads=4,
+                              max_positions=12)
+    out = enc.apply({'params': params}, jnp.asarray(ids_np))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
