@@ -66,13 +66,72 @@ def _is_whitespace(ch: str) -> bool:
     return unicodedata.category(ch) == 'Zs'
 
 
+def _is_cjk(cp: int) -> bool:
+    """HF BasicTokenizer._is_chinese_char block list."""
+    return ((0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF)
+            or (0x20000 <= cp <= 0x2A6DF) or (0x2A700 <= cp <= 0x2B73F)
+            or (0x2B740 <= cp <= 0x2B81F) or (0x2B820 <= cp <= 0x2CEAF)
+            or (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
+
+
+def _nfc_with_origin(chars: List[str],
+                     orig: List[int]) -> Tuple[List[str], List[int]]:
+    """NFC-normalize a char list, tracking per-char origins.
+
+    The TEXT is exact by construction (verified against whole-string
+    NFC); origins are tracked per combining sequence (a composed char
+    inherits its sequence's first source index) and degrade to a
+    monotone approximation only if an exotic script composes across our
+    segment boundaries."""
+    import unicodedata
+    s = ''.join(chars)
+    whole = unicodedata.normalize('NFC', s)
+    if whole == s:
+        return chars, orig
+    out_c: List[str] = []
+    out_o: List[int] = []
+    seg: List[str] = []
+    seg_o: List[int] = []
+
+    def flush():
+        if not seg:
+            return
+        for j, ch in enumerate(unicodedata.normalize('NFC', ''.join(seg))):
+            out_c.append(ch)
+            out_o.append(seg_o[min(j, len(seg_o) - 1)])
+        seg.clear()
+        seg_o.clear()
+
+    for ch, o in zip(chars, orig):
+        # segment starts at starters (ccc=0), except Hangul V/T jamo
+        # which compose with a PRECEDING starter
+        if (unicodedata.combining(ch) == 0
+                and not 0x1160 <= ord(ch) <= 0x11FF):
+            flush()
+        seg.append(ch)
+        seg_o.append(o)
+    flush()
+    if ''.join(out_c) != whole:  # composition crossed a boundary
+        out_c = list(whole)
+        out_o = [orig[min(i, len(orig) - 1)] for i in range(len(whole))]
+    return out_c, out_o
+
+
 def _clean_with_origin(text: str) -> Tuple[str, List[int]]:
-    """HF BasicTokenizer-equivalent cleaning (no ftfy, no accent strip,
-    no punctuation split — matching CLIPTokenizer's non-ftfy path of
-    `BasicTokenizer(strip_accents=False, do_split_on_punc=False)` +
-    whitespace join + lowercase), tracking each output char's index in
-    the ORIGINAL string for char_to_token."""
-    out: List[str] = []
+    """HF CLIPTokenizer non-ftfy-path cleaning, tracking each output
+    char's index in the ORIGINAL string for char_to_token.
+
+    Reproduces `' '.join(BasicTokenizer(strip_accents=False,
+    do_split_on_punc=False).tokenize(text))`: control-char removal, CJK
+    char spacing, NFC normalization, whitespace collapse/strip, and
+    per-token lowercase (including Python/Unicode's final-sigma rule).
+    HF-equivalence is tested on ASCII, accented, CJK and Greek inputs
+    (tests/test_clip_bpe.py). Remaining documented gap: environments
+    WITH ftfy installed take `ftfy.fix_text` instead, which differs on
+    mojibake/ambiguous-encoding inputs only.
+    """
+    # pass 1: clean + CJK spacing + whitespace collapse
+    chars: List[str] = []
     orig: List[int] = []
     prev_space = True  # leading whitespace collapses away
     for i, ch in enumerate(text):
@@ -81,19 +140,62 @@ def _clean_with_origin(text: str) -> Tuple[str, List[int]]:
             continue
         if _is_whitespace(ch):
             if not prev_space:
-                out.append(' ')
+                chars.append(' ')
                 orig.append(i)
             prev_space = True
             continue
-        prev_space = False
-        for lch in ch.lower():
-            out.append(lch)
+        if _is_cjk(cp):
+            if not prev_space:
+                chars.append(' ')
+                orig.append(i)
+            chars.append(ch)
             orig.append(i)
-    # strip trailing space
-    while out and out[-1] == ' ':
-        out.pop()
+            chars.append(' ')
+            orig.append(i)
+            prev_space = True
+            continue
+        prev_space = False
+        chars.append(ch)
+        orig.append(i)
+    while chars and chars[-1] == ' ':
+        chars.pop()
         orig.pop()
-    return ''.join(out), orig
+
+    # pass 2: NFC (HF normalizes before splitting; spaces are starters
+    # and never compose, so collapsing first is equivalent)
+    chars, orig = _nfc_with_origin(chars, orig)
+
+    # pass 3: per-token lowercase. str.lower on the whole token applies
+    # the context-sensitive final-sigma rule; per-char expansion (e.g.
+    # 'İ' → 'i̇') keeps origins aligned, then token-level lower output
+    # overwrites the chars when lengths agree.
+    out: List[str] = []
+    oorig: List[int] = []
+    i, n = 0, len(chars)
+    while i < n:
+        if chars[i] == ' ':
+            out.append(' ')
+            oorig.append(orig[i])
+            i += 1
+            continue
+        j = i
+        while j < n and chars[j] != ' ':
+            j += 1
+        tok = chars[i:j]
+        pieces = [c.lower() for c in tok]
+        low = ''.join(tok).lower()
+        if sum(len(p) for p in pieces) == len(low):
+            pos, fixed = 0, []
+            for p in pieces:
+                fixed.append(low[pos:pos + len(p)])
+                pos += len(p)
+            pieces = fixed
+        for p, o in zip(pieces, orig[i:j]):
+            for lch in p:
+                out.append(lch)
+                oorig.append(o)
+        i = j
+    return ''.join(out), oorig
 
 
 class ClipBPETokenizer:

@@ -233,6 +233,11 @@ def build_tokenizer(path: Optional[str] = None):
     Preference order: our pure-python CLIP BPE (exact, offline — see
     data/clip_bpe.py) when vocab.json+merges.txt exist at `path`, then
     a HF tokenizer loaded from `path`, then the hash fallback.
+
+    Equivalence scope: the BPE engine reproduces HF CLIPTokenizer's
+    non-ftfy path exactly (incl. NFC, CJK spacing, final-sigma lower —
+    HF-parity tested on unicode inputs); an environment WITH ftfy
+    installed differs only on mojibake/ambiguous-encoding inputs.
     """
     if path:
         import os

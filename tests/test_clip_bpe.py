@@ -29,6 +29,13 @@ SENTENCES = [
     "it's the chair near   the WINDOW",   # case + whitespace collapse
     'a plant, behind the door!',
     'unseen zebra words qux',             # byte-fallback path
+    # unicode paths of the non-ftfy cleanup (HF BasicTokenizer):
+    'café CAFÉ naïve',      # precomposed accents + case
+    'café held',                     # NFC composition (e + U+0301)
+    '桌子 next to 椅子',   # CJK char spacing
+    'ΣΟΦΟΣ sofa',  # Greek final-sigma lowercase
+    'İstanbul shelf',                 # 'İ'.lower() expands to 2 chars
+    'tab\tand\nnewline  mix',
 ]
 
 
