@@ -1,21 +1,29 @@
-"""Benchmark: ProxyTransformation preshape fwd + full-model fwd + train step.
+"""Benchmark: full-model fwd (headline) + preshape fwd + train step.
 
 Three honest measurements on whatever backend is available (the real
 TPU under the driver):
 
-  1. preshape fwd — BASELINE.json config #3 ("full ProxyTransformation
+  1. full detector forward (extract_feat + decoder + head, predict
+     path) at flagship scale, B=2. PRIMARY metric; `vs_baseline`
+     anchors to the round-2 TPU measurement (BASELINE.md: 605.5 ms →
+     3.3 scenes/s/chip).
+  2. preshape fwd — BASELINE.json config #3 ("full ProxyTransformation
      module: text + multi-view image proxies, batch=4 scenes") at the
      reference scale (grid 12 → 1728 clusters, dynamic_drop 0.6, 100k
-     points, 20 views, CLIP-text dims). Primary metric; `vs_baseline`
-     anchors to the round-1 TPU number (BASELINE.md).
-  2. full detector forward (extract_feat + decoder + head, predict
-     path) at flagship scale.
+     points, 20 views, CLIP-text dims).
   3. jitted train step (loss + grads + AdamW update) at the reference
      per-device config (B=6, 100k pts, 20 views — configs/...clip.py:146),
      falling back to a smaller B on OOM with the B used reported.
 
+Every stage also reports analytic FLOPs (XLA HLO cost analysis of the
+single-step program, host-side), achieved TFLOP/s, and MFU against the
+chip's bf16 peak — the absolute are-we-fast signal, independent of any
+self-anchored baseline.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
-the secondary measurements as extra keys.
+the secondary measurements and a per-stage {ok, error_tail} status map
+as extra keys. Partial results persist to BENCH_partial.json after
+every stage, so a stage timeout cannot lose earlier measurements.
 
 Timing note: this environment's remote TPU backend returns from
 `block_until_ready` before execution completes, so all numbers use
@@ -23,18 +31,22 @@ Timing note: this environment's remote TPU backend returns from
 iterations + scalar readback, two chain lengths differenced).
 """
 import json
+import os
 import sys
 import traceback
 
 import numpy as np
 
-# Anchor for vs_baseline: the honest round-1 TPU measurement of the
-# preshape module (see BASELINE.md). The PyTorch reference's
-# CUDA/MinkowskiEngine stack cannot run in this environment and the
-# repo publishes no numbers, so improvements are tracked against our
-# own first honest measurement (round 1: 176 scenes/s with the Pallas
-# ball-query kernel; the pure-XLA formulation before it: 4.6).
-BASELINE_SCENES_PER_SEC = 176.0
+# Anchors for vs_baseline: our own honest TPU measurements (the PyTorch
+# reference's CUDA/MinkowskiEngine stack cannot run in this environment
+# and the repo publishes no numbers — see BASELINE.md).
+#   full forward: round-2, B=2, 605.5 ms -> 3.30 scenes/s/chip
+#   preshape:     round-1, B=4, 22.7 ms -> 176 scenes/s/chip
+FULL_FWD_BASELINE_SPS = 3.30
+PRESHAPE_BASELINE_SPS = 176.0
+
+# Peak bf16 matmul throughput of one chip, for MFU. v5e: 197 TFLOP/s.
+PEAK_BF16_TFLOPS = float(os.environ.get('BENCH_PEAK_TFLOPS', '197'))
 
 
 def bench_preshape(jax, jnp, chained_ms_per_iter):
@@ -61,7 +73,10 @@ def bench_preshape(jax, jnp, chained_ms_per_iter):
         return (p + 0.0001 * jnp.where(m[..., None], out - p, 0.0), v, im)
 
     ms = chained_ms_per_iter(step, (pts, variables, img))
-    return B / (ms / 1e3), ms
+    flops = _count_flops(
+        lambda v, p, im: model.apply(v, p, mask, text, tmask, im,
+                                     train=False), variables, pts, img)
+    return B / (ms / 1e3), ms, flops
 
 
 def _flagship_batch(jnp, B, n_points=100_000, V=20, H=480, W=480, L=32,
@@ -123,7 +138,9 @@ def bench_full_forward(jax, jnp, chained_ms_per_iter, B=2):
 
     ms = chained_ms_per_iter(step, (batch, variables), n_short=1,
                              n_long=3)
-    return B / (ms / 1e3), ms, B
+    flops = _count_flops(
+        lambda v, b: model.apply(v, b, mode='predict'), variables, batch)
+    return B / (ms / 1e3), ms, B, flops
 
 
 def bench_train_step(jax, jnp, chained_ms_per_iter, B=6):
@@ -146,7 +163,31 @@ def bench_train_step(jax, jnp, chained_ms_per_iter, B=6):
         return (new_s, b)
 
     ms = chained_ms_per_iter(step, (state, batch), n_short=1, n_long=3)
-    return B / (ms / 1e3), ms, B
+    flops = _count_flops(train_step, state, batch, rng)
+    return B / (ms / 1e3), ms, B, flops
+
+
+def _count_flops(fn, *args):
+    """Analytic FLOPs of one step: host-side HLO cost analysis (no
+    device compile — works identically over the remote-TPU tunnel)."""
+    try:
+        import jax
+        ca = jax.jit(fn).lower(*args).cost_analysis() or {}
+        f = float(ca.get('flops', 0.0))
+        return f if f > 0 else None
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        return None
+
+
+def _mfu_fields(out, batch_divisor=1):
+    """Attach achieved_tflops + mfu to a stage result (in place)."""
+    flops, ms = out.get('flops'), out.get('ms')
+    if flops and ms:
+        tflops = flops / (ms * 1e-3) / 1e12
+        out['achieved_tflops'] = round(tflops, 2)
+        out['mfu'] = round(tflops / PEAK_BF16_TFLOPS, 4)
+    return out
 
 
 def _run_stage(stage: str):
@@ -158,30 +199,38 @@ def _run_stage(stage: str):
     from proxytransformation_tpu.utils.timing import chained_ms_per_iter
 
     if stage == 'preshape':
-        sps, ms = bench_preshape(jax, jnp, chained_ms_per_iter)
-        print(json.dumps({'scenes_per_sec': round(sps, 2),
-                          'ms': round(ms, 2)}))
+        sps, ms, flops = bench_preshape(jax, jnp, chained_ms_per_iter)
+        print(json.dumps(_mfu_fields({'scenes_per_sec': round(sps, 2),
+                                      'ms': round(ms, 2),
+                                      'flops': flops})))
         return
     if stage.startswith('full_forward'):
         B = int(stage.split(':')[1])
-        sps, ms, used = bench_full_forward(jax, jnp, chained_ms_per_iter,
-                                           B)
-        print(json.dumps({'scenes_per_sec': round(sps, 2),
-                          'ms': round(ms, 1), 'batch': used}))
+        sps, ms, used, flops = bench_full_forward(
+            jax, jnp, chained_ms_per_iter, B)
+        print(json.dumps(_mfu_fields({'scenes_per_sec': round(sps, 2),
+                                      'ms': round(ms, 1), 'batch': used,
+                                      'flops': flops})))
         return
     if stage.startswith('train_step'):
         B = int(stage.split(':')[1])
-        sps, ms, used = bench_train_step(jax, jnp, chained_ms_per_iter, B)
-        print(json.dumps({'scenes_per_sec': round(sps, 2),
-                          'ms': round(ms, 1), 'batch': used}))
+        sps, ms, used, flops = bench_train_step(
+            jax, jnp, chained_ms_per_iter, B)
+        print(json.dumps(_mfu_fields({'scenes_per_sec': round(sps, 2),
+                                      'ms': round(ms, 1), 'batch': used,
+                                      'flops': flops})))
         return
     raise ValueError(stage)
 
 
 def _stage_subprocess(stage: str, timeout_s: int):
     """Run a stage in a subprocess (a hung remote compile must not take
-    the whole benchmark down); returns its parsed JSON or None."""
-    import os
+    the whole benchmark down).
+
+    Returns (result_or_None, status): status always carries {'ok'} and,
+    on failure, {'error_tail'} — a crash must be visible in the parsed
+    benchmark output, not only on stderr.
+    """
     import subprocess
     try:
         proc = subprocess.run(
@@ -190,12 +239,17 @@ def _stage_subprocess(stage: str, timeout_s: int):
             capture_output=True, text=True, timeout=timeout_s)
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-2000:])
-            return None
+            return None, {'ok': False,
+                          'error_tail': proc.stderr[-800:].strip()}
         line = proc.stdout.strip().splitlines()[-1]
-        return json.loads(line)
+        return json.loads(line), {'ok': True}
+    except subprocess.TimeoutExpired:
+        return None, {'ok': False,
+                      'error_tail': f'timeout after {timeout_s}s'}
     except Exception:
         traceback.print_exc(file=sys.stderr)
-        return None
+        return None, {'ok': False,
+                      'error_tail': traceback.format_exc()[-800:]}
 
 
 def main():
@@ -203,42 +257,53 @@ def main():
         _run_stage(sys.argv[sys.argv.index('--stage') + 1])
         return
 
-    extra = {}
-    pre = _stage_subprocess('preshape', 2400)
-    preshape_sps = (pre or {}).get('scenes_per_sec', 0.0)
-    if pre:
-        extra['preshape_fwd_ms_b4'] = pre['ms']
+    extra = {'stages': {}}
+    partial_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'BENCH_partial.json')
 
-    ff = _stage_subprocess('full_forward:2', 3600) \
-        or _stage_subprocess('full_forward:1', 2400)
-    if ff:
-        extra['full_forward_scenes_per_sec'] = ff['scenes_per_sec']
-        extra['full_forward_ms'] = ff['ms']
-        extra['full_forward_batch'] = ff['batch']
-    else:
-        extra['full_forward_scenes_per_sec'] = None
+    def _checkpoint():
+        try:
+            with open(partial_path, 'w') as f:
+                json.dump(extra, f, indent=1)
+        except OSError:
+            pass
 
-    # B=6 (the reference per-GPU batch) currently OOM-kills the remote
-    # XLA compile helper (HTTP 500 SIGKILL after ~25 min); opt in via
-    # BENCH_TRY_B6=1 — the recorded metric uses B=2 until remat lands
-    import os as _os
-    ts = None
-    if _os.environ.get('BENCH_TRY_B6'):
-        ts = _stage_subprocess('train_step:6', 3600)
-    ts = ts or _stage_subprocess('train_step:2', 3600)
-    if ts:
-        extra['train_step_scenes_per_sec'] = ts['scenes_per_sec']
-        extra['train_step_ms'] = ts['ms']
-        extra['train_step_batch'] = ts['batch']
-    else:
-        extra['train_step_scenes_per_sec'] = None
+    def _stage(name, stage, timeout_s, keys=('scenes_per_sec', 'ms',
+                                             'batch', 'flops',
+                                             'achieved_tflops', 'mfu')):
+        res, status = _stage_subprocess(stage, timeout_s)
+        extra['stages'][stage] = status
+        if res:
+            for k in keys:
+                if k in res:
+                    extra[f'{name}_{k}'] = res[k]
+        _checkpoint()
+        return res
 
-    print(json.dumps(dict({
-        'metric': 'proxy_transformation_fwd_scenes_per_sec_per_chip',
-        'value': round(preshape_sps, 2),
+    ff = _stage('full_forward', 'full_forward:2', 3600)
+    if not ff:
+        ff = _stage('full_forward', 'full_forward:1', 2400)
+
+    pre = _stage('preshape', 'preshape', 2400)
+
+    ts = _stage('train_step', 'train_step:6', 3600)
+    if not ts:
+        ts = _stage('train_step', 'train_step:2', 3600)
+
+    ff_sps = (ff or {}).get('scenes_per_sec')
+    result = dict({
+        'metric': 'full_detector_fwd_scenes_per_sec_per_chip',
+        'value': round(ff_sps, 2) if ff_sps else None,
         'unit': 'scenes/s',
-        'vs_baseline': round(preshape_sps / BASELINE_SCENES_PER_SEC, 3),
-    }, **extra)))
+        'vs_baseline': (round(ff_sps / FULL_FWD_BASELINE_SPS, 3)
+                        if ff_sps else None),
+        'preshape_vs_baseline': (
+            round(pre['scenes_per_sec'] / PRESHAPE_BASELINE_SPS, 3)
+            if pre else None),
+    }, **extra)
+    with open(partial_path, 'w') as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

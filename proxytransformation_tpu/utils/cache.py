@@ -1,6 +1,8 @@
 """Persistent XLA compilation cache (first TPU compile through the
 tunnel is slow; cache hits make reruns near-instant)."""
+import hashlib
 import os
+import platform
 
 
 def enable_compilation_cache(path: str = '/root/.cache/jax_comp_cache'):
@@ -9,5 +11,37 @@ def enable_compilation_cache(path: str = '/root/.cache/jax_comp_cache'):
     try:
         jax.config.update('jax_compilation_cache_dir', path)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+
+def machine_keyed_cache_dir(prefix: str = 'pt_xla_cpu') -> str:
+    """Cache dir keyed by machine + jax version.
+
+    CPU AOT blobs embed the compiling machine's CPU features; replaying
+    them on a different CPU can SIGILL. Keying the directory by a hash
+    of /proc/cpuinfo flags (+arch +jax version) makes a moved disk
+    image start a fresh cache instead of replaying foreign blobs.
+    """
+    import jax
+    try:
+        with open('/proc/cpuinfo') as f:
+            flags_line = next((ln for ln in f if ln.startswith('flags')), '')
+        tag = hashlib.sha1(flags_line.encode()).hexdigest()[:8]
+    except OSError:
+        tag = 'nocpuinfo'
+    return os.path.expanduser(
+        f'~/.cache/{prefix}_{platform.machine()}_{tag}_{jax.__version__}')
+
+
+def enable_cpu_compilation_cache(prefix: str = 'pt_xla_cpu'):
+    """Machine-keyed persistent cache for CPU-backend runs (tests,
+    multichip dryrun). Safe cross-machine; never a hard dependency."""
+    import jax
+    path = machine_keyed_cache_dir(prefix)
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
     except Exception:
         pass

@@ -1,5 +1,4 @@
-"""Test config: force an 8-virtual-device CPU platform so multi-chip
-sharding paths run in CI without TPUs.
+"""Force an 8-virtual-device CPU backend for the whole test session.
 
 Note: on this image the axon TPU plugin ignores the JAX_PLATFORMS env
 var, so we must use the jax.config API (before any backend is created).
@@ -8,10 +7,25 @@ import os
 
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags += ' --xla_force_host_platform_device_count=8'
+if 'collective_call_terminate_timeout' not in flags:
+    # default 40 s rendezvous TERMINATE aborts the process when 8
+    # device threads timeshare this 1-core image (see __graft_entry__)
+    flags += (' --xla_cpu_collective_call_warn_stuck_timeout_seconds=120'
+              ' --xla_cpu_collective_call_terminate_timeout_seconds=600')
+os.environ['XLA_FLAGS'] = flags.strip()
 
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', False)
+
+# Persistent machine-keyed CPU compile cache: jit compiles dominate
+# suite wall time on this 1-core image; warm reruns of the standard
+# gate drop from ~40 min to minutes. Keyed by CPU features + jax
+# version so a disk image moved to a different CPU never replays blobs
+# compiled with foreign CPU features (observed SIGILL risk).
+from proxytransformation_tpu.utils.cache import (  # noqa: E402
+    enable_cpu_compilation_cache)
+
+enable_cpu_compilation_cache(prefix='pt_test_xla')
