@@ -111,11 +111,21 @@ def _flagship_batch(jnp, B, n_points=100_000, V=20, H=480, W=480, L=32,
     return batch
 
 
-def _flagship_model(remat=False):
+def _flagship_model(remat=False, train=False):
+    import os as _os
     from proxytransformation_tpu.models.detector import (
         SparseFeatureFusion3DGrounderPreshape)
-    # reference defaults; remat for the big train batches
-    return SparseFeatureFusion3DGrounderPreshape(remat=remat)
+    # Reference defaults; the train benches run the AMP config
+    # (compute_dtype=bfloat16, the analog of the reference's --amp,
+    # tools/train.py:94-105) with the painting gathers checkpointed:
+    # the f32 no-remat step needs ~15.6 GB (args 1.9 + out 1.8 + temp
+    # 11.0 + code 0.8) and OOMs the 16 GB v5e. Override via
+    # BENCH_COMPUTE_DTYPE / BENCH_FWD_DTYPE.
+    dt = _os.environ.get(
+        'BENCH_COMPUTE_DTYPE' if train else 'BENCH_FWD_DTYPE',
+        'bfloat16' if train else 'float32')
+    return SparseFeatureFusion3DGrounderPreshape(
+        remat=remat, remat_painting=train or remat, compute_dtype=dt)
 
 
 def bench_full_forward(jax, jnp, chained_ms_per_iter, B=2):
@@ -147,7 +157,7 @@ def bench_train_step(jax, jnp, chained_ms_per_iter, B=6):
     from proxytransformation_tpu.engine import (build_optimizer,
                                                 create_train_state,
                                                 make_train_step)
-    model = _flagship_model(remat=B >= 4)
+    model = _flagship_model(remat=B >= 4, train=True)
     batch = _flagship_batch(jnp, B, with_targets=True)
     variables = jax.jit(
         lambda rng, b: model.init(rng, b, mode='loss', train=False))(

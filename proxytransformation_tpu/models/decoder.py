@@ -27,6 +27,9 @@ class MultiheadAttention(nn.Module):
     embed_dims: int = 256
     num_heads: int = 8
     dropout: float = 0.0
+    # compute dtype for projections and attention matmuls; the softmax
+    # itself runs in float32 (accumulated via preferred_element_type)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, query, key, value, query_pos=None, key_pos=None,
@@ -39,24 +42,26 @@ class MultiheadAttention(nn.Module):
         B, Q, C = q.shape
         H = self.num_heads
         hd = C // H
-        qp = nn.Dense(C, name='q_proj')(q)
-        kp = nn.Dense(C, name='k_proj')(k)
-        vp = nn.Dense(C, name='v_proj')(value)
+        qp = nn.Dense(C, dtype=self.dtype, name='q_proj')(q)
+        kp = nn.Dense(C, dtype=self.dtype, name='k_proj')(k)
+        vp = nn.Dense(C, dtype=self.dtype, name='v_proj')(value)
         split = lambda t: t.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
         qp, kp, vp = split(qp), split(kp), split(vp)
-        logits = jnp.einsum('bhqd,bhkd->bhqk', qp, kp) * hd ** -0.5
+        logits = jnp.einsum('bhqd,bhkd->bhqk', qp, kp,
+                            preferred_element_type=jnp.float32) * hd ** -0.5
         if key_padding_mask is not None:
             logits = jnp.where(key_padding_mask[:, None, None, :], -1e9,
                                logits)
         if attn_bias is not None:
             logits = logits + attn_bias
-        attn = nn.softmax(logits, axis=-1)
+        attn = nn.softmax(logits, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-        out = jnp.einsum('bhqk,bhkd->bhqd', attn, vp)
+        out = jnp.einsum('bhqk,bhkd->bhqd', attn, vp,
+                         preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, Q, C)
-        out = nn.Dense(C, name='out_proj')(out)
+        out = nn.Dense(C, dtype=self.dtype, name='out_proj')(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
-        return residual + out
+        return (residual + out).astype(jnp.float32)
 
 
 class PositionEmbeddingLearned(nn.Module):
@@ -82,16 +87,17 @@ class FFN(nn.Module):
     embed_dims: int = 256
     feedforward_channels: int = 2048
     ffn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         residual = x
-        x = nn.Dense(self.feedforward_channels)(x)
+        x = nn.Dense(self.feedforward_channels, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.ffn_drop, deterministic=deterministic)(x)
-        x = nn.Dense(self.embed_dims)(x)
+        x = nn.Dense(self.embed_dims, dtype=self.dtype)(x)
         x = nn.Dropout(self.ffn_drop, deterministic=deterministic)(x)
-        return residual + x
+        return (residual + x).astype(jnp.float32)
 
 
 class DecoderLayer(nn.Module):
@@ -101,28 +107,32 @@ class DecoderLayer(nn.Module):
     num_heads: int = 8
     dropout: float = 0.0
     feedforward_channels: int = 2048
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, query, key, value, query_pos, key_pos,
                  key_padding_mask, text_feats, text_padding_mask,
                  deterministic: bool = True):
         query = MultiheadAttention(self.embed_dims, self.num_heads,
-                                   self.dropout, name='self_attn')(
+                                   self.dropout, self.dtype,
+                                   name='self_attn')(
             query, query, query, query_pos, query_pos,
             deterministic=deterministic)
         query = nn.LayerNorm(name='norm0')(query)
         query = MultiheadAttention(self.embed_dims, self.num_heads,
-                                   self.dropout, name='cross_attn_text')(
+                                   self.dropout, self.dtype,
+                                   name='cross_attn_text')(
             query, text_feats, text_feats, query_pos, None,
             key_padding_mask=text_padding_mask, deterministic=deterministic)
         query = nn.LayerNorm(name='norm1')(query)
         query = MultiheadAttention(self.embed_dims, self.num_heads,
-                                   self.dropout, name='cross_attn')(
+                                   self.dropout, self.dtype,
+                                   name='cross_attn')(
             query, key, value, query_pos, key_pos,
             key_padding_mask=key_padding_mask, deterministic=deterministic)
         query = nn.LayerNorm(name='norm2')(query)
         query = FFN(self.embed_dims, self.feedforward_channels,
-                    name='ffn')(query, deterministic)
+                    dtype=self.dtype, name='ffn')(query, deterministic)
         return nn.LayerNorm(name='norm3')(query)
 
 
@@ -139,6 +149,9 @@ class SparseFeatureFusionTransformerDecoder(nn.Module):
     dropout: float = 0.0
     feedforward_channels: int = 2048
     remat: bool = False  # rematerialize per layer (jax.checkpoint)
+    # compute dtype for attention/FFN matmuls (LayerNorms, position
+    # nets and box refinement stay float32)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, query, feats, feats_padding_mask, query_coords,
@@ -164,7 +177,7 @@ class SparseFeatureFusionTransformerDecoder(nn.Module):
                          if self.remat else DecoderLayer)
             query = layer_cls(self.embed_dims, self.num_heads,
                               self.dropout, self.feedforward_channels,
-                              name=f'layer_{lid}')(
+                              self.dtype, name=f'layer_{lid}')(
                 query, feats, feats, query_pos, key_pos,
                 feats_padding_mask, text_feats, text_padding_mask,
                 deterministic)

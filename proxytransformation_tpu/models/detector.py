@@ -93,11 +93,24 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
     # trades recompute for activation + XLA-compile memory; needed for
     # the reference B=6 per-chip train batch
     remat: bool = False
+    # checkpoint the 2D→3D painting gathers: their per-level (V, N, C)
+    # stash is among the largest backward residuals, and recompute is
+    # cheap (index gathers). None → follow `remat`.
+    remat_painting: Optional[bool] = None
+    # 'bfloat16' runs the matmul-heavy submodules (2D ResNet, preshape
+    # attention, sparse stages, painting gathers, decoder) in bf16 —
+    # the TPU-idiomatic AMP analog of the reference's --amp flag
+    # (reference tools/train.py:94-105). Geometry (voxelize, neighbor
+    # maps, projections, box math), norm statistics, scores and losses
+    # stay float32. Halves activation memory; required for the
+    # reference per-chip train batch (B=6) on a 16 GB v5e.
+    compute_dtype: str = 'float32'
 
     def setup(self):
+        cdt = jnp.dtype(self.compute_dtype)
         self.backbone = ResNet(depth=self.img_depth,
                                base_channels=self.img_base_channels,
-                               remat=self.remat)
+                               remat=self.remat, dtype=cdt)
         if self.t_type == 'clip':
             self.text_encoder = CLIPTextEncoder(width=self.text_width,
                                                 layers=self.text_layers,
@@ -112,12 +125,12 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
             text_blocks=self.text_blocks, img_blocks=self.img_blocks,
             dynamic_drop_radio=self.dynamic_drop_radio,
             num_sub=self.num_sub, input_dim=self.img_base_channels * 32,
-            img_spacial_dim=self.img_spacial_dim)
+            img_spacial_dim=self.img_spacial_dim, dtype=cdt)
         self.backbone_3d = MinkResNet(depth=self.backbone3d_depth,
                                       in_channels=3,
                                       capacities=tuple(
                                           self.sparse_capacities),
-                                      remat=self.remat)
+                                      remat=self.remat, dtype=cdt)
         img_chans = [self.img_base_channels * 4 * 2 ** i for i in range(4)]
         mink_chans = [64, 128, 256, 512]
         self.neck_3d = MinkNeck(
@@ -129,7 +142,8 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
         self.decoder = SparseFeatureFusionTransformerDecoder(
             num_layers=self.decoder_layers, embed_dims=self.embed_dims,
             num_heads=self.num_heads,
-            feedforward_channels=self.ffn_channels, remat=self.remat)
+            feedforward_channels=self.ffn_channels, remat=self.remat,
+            dtype=cdt)
         self.bbox_head = GroundingHead(
             num_classes=self.max_text_len, embed_dims=self.embed_dims,
             max_text_len=self.max_text_len,
@@ -178,6 +192,14 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
                                              return_self_maps=True)
 
         # 2D→3D painting per level (:404-479)
+        paint = jax.vmap(
+            lambda imf, p, proj, vm, vmask: batch_point_sample(
+                imf, p, proj, (H, W),
+                img_scale_factor=None, valid_mask=vm, views_mask=vmask,
+                aligned=False))
+        if (self.remat if self.remat_painting is None
+                else self.remat_painting):
+            paint = jax.checkpoint(paint)
         painted = []
         for lvl_idx, lvl in enumerate(levels):
             xyz = lvl.world_xyz()  # (B, Vl, 3)
@@ -188,11 +210,7 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
                 batch.get('pcd_trans'),
                 batch.get('pcd_flip_x'),
                 batch.get('pcd_flip_y'))
-            feat2d = jax.vmap(
-                lambda imf, p, proj, vm, vmask: batch_point_sample(
-                    imf, p, proj, (H, W),
-                    img_scale_factor=None, valid_mask=vm, views_mask=vmask,
-                    aligned=False))(
+            feat2d = paint(
                 img_feats[lvl_idx], inv, batch['proj_mats'], lvl.mask,
                 batch['views_mask'])
             painted.append(

@@ -25,11 +25,12 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param('scale', nn.initializers.ones, (C, ))
         bias = self.param('bias', nn.initializers.zeros, (C, ))
 
-        if train:
-            m = mask[..., None].astype(x.dtype)
+        xf = x.astype(jnp.float32)  # stats always in f32 (bf16 sums
+        if train:                    # over 100k rows lose ~all mantissa)
+            m = mask[..., None].astype(jnp.float32)
             cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=(0, 1)) / cnt
-            var = jnp.sum(jnp.square(x - mean) * m, axis=(0, 1)) / cnt
+            mean = jnp.sum(xf * m, axis=(0, 1)) / cnt
+            var = jnp.sum(jnp.square(xf - mean) * m, axis=(0, 1)) / cnt
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)
@@ -38,8 +39,8 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) / jnp.sqrt(var + self.eps) * scale + bias
-        return jnp.where(mask[..., None], y, 0.0)
+        y = (xf - mean) / jnp.sqrt(var + self.eps) * scale + bias
+        return jnp.where(mask[..., None], y, 0.0).astype(x.dtype)
 
 
 class MaskedInstanceNorm(nn.Module):
@@ -51,9 +52,10 @@ class MaskedInstanceNorm(nn.Module):
         C = x.shape[-1]
         scale = self.param('scale', nn.initializers.ones, (C, ))
         bias = self.param('bias', nn.initializers.zeros, (C, ))
-        m = mask[..., None].astype(x.dtype)
+        xf = x.astype(jnp.float32)  # f32 stats (see MaskedBatchNorm)
+        m = mask[..., None].astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
-        mean = jnp.sum(x * m, axis=1, keepdims=True) / cnt
-        var = jnp.sum(jnp.square(x - mean) * m, axis=1, keepdims=True) / cnt
-        y = (x - mean) / jnp.sqrt(var + self.eps) * scale + bias
-        return jnp.where(mask[..., None], y, 0.0)
+        mean = jnp.sum(xf * m, axis=1, keepdims=True) / cnt
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=1, keepdims=True) / cnt
+        y = (xf - mean) / jnp.sqrt(var + self.eps) * scale + bias
+        return jnp.where(mask[..., None], y, 0.0).astype(x.dtype)

@@ -114,7 +114,10 @@ def batch_point_sample(img_features: jnp.ndarray,
 
     feat = jnp.where(valid[..., None], feat, 0.0)  # (V, N, C)
     cnt = jnp.sum(valid, axis=0)  # (N,)
-    out = jnp.sum(feat, axis=0) / jnp.clip(cnt[:, None], 1, None)
+    # view-mean accumulates in f32 (features may flow in bf16), result
+    # keeps the feature dtype
+    out = (jnp.sum(feat.astype(jnp.float32), axis=0)
+           / jnp.clip(cnt[:, None], 1, None)).astype(feat.dtype)
     out = jnp.where((cnt > 0)[:, None], out, 0.0)
     if valid_mask is not None:
         out = jnp.where(valid_mask[:, None], out, 0.0)

@@ -70,15 +70,16 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = nn.Dense(self.out)(x)
+        x = nn.Dense(self.out, dtype=self.dtype)(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class OffsetNetwork(nn.Module):
@@ -88,6 +89,7 @@ class OffsetNetwork(nn.Module):
     ReLU, mean over K (including padded slots, faithfully), 1×1 conv → 3.
     """
     hidden: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, center, cluster, train: bool = False):
@@ -96,7 +98,8 @@ class OffsetNetwork(nn.Module):
         pad = jnp.all(cluster == 0.0, axis=-1, keepdims=True)
         rel = jnp.where(pad, 0.0, rel)
         x = jnp.concatenate([rel, cluster], axis=-1)  # (b, m, k, 6)
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         x = nn.BatchNorm(use_running_average=not train, axis_name=None)(x)
         x = nn.relu(x)
         x = jnp.mean(x, axis=2)  # over K, padded slots included (faithful)
@@ -107,6 +110,7 @@ class OffsetNetwork(nn.Module):
 class SimplifiedPointNet(nn.Module):
     """Max-pool PointNet over each cluster (reference :109-142)."""
     out: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, center, cluster, train: bool = False):
@@ -114,7 +118,8 @@ class SimplifiedPointNet(nn.Module):
         pad = jnp.all(cluster == 0.0, axis=-1, keepdims=True)
         rel = jnp.where(pad, 0.0, rel)
         x = jnp.concatenate([rel, cluster], axis=-1)
-        x = nn.Dense(self.out)(x)
+        x = nn.Dense(self.out, dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         x = nn.BatchNorm(use_running_average=not train, axis_name=None)(x)
         x = nn.relu(x)
         return jnp.max(x, axis=2)  # (b, m, c)
@@ -125,6 +130,7 @@ class AttentionPool2d(nn.Module):
     spacial_dim: int
     embed_dim: int
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -136,18 +142,21 @@ class AttentionPool2d(nn.Module):
                          lambda k, s: jax.random.normal(k, s) / c ** 0.5,
                          (self.spacial_dim ** 2 + 1, c))
         x = x + pos[None]
-        q = nn.Dense(c, name='q_proj')(x[:, :1])
-        k = nn.Dense(c, name='k_proj')(x)
-        v = nn.Dense(c, name='v_proj')(x)
+        q = nn.Dense(c, dtype=self.dtype, name='q_proj')(x[:, :1])
+        k = nn.Dense(c, dtype=self.dtype, name='k_proj')(x)
+        v = nn.Dense(c, dtype=self.dtype, name='v_proj')(x)
         hd = c // self.num_heads
         q = q.reshape(n, 1, self.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(n, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(n, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
-        attn = jnp.einsum('nhqd,nhkd->nhqk', q, k) / hd ** 0.5
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum('nhqk,nhkd->nhqd', attn, v)
+        attn = jnp.einsum('nhqd,nhkd->nhqk', q, k,
+                          preferred_element_type=jnp.float32) / hd ** 0.5
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum('nhqk,nhkd->nhqd', attn, v,
+                         preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(n, 1, c)[:, 0]
-        return nn.Dense(self.embed_dim, name='c_proj')(out)  # (n, c)
+        return nn.Dense(self.embed_dim, dtype=self.dtype,
+                        name='c_proj')(out).astype(jnp.float32)  # (n, c)
 
 
 class ProxyAttention(nn.Module):
@@ -166,6 +175,7 @@ class ProxyAttention(nn.Module):
     proj_drop: float = 0.0
     num_cluster: int = 12 ** 3
     dynamic_drop_radio: float = 0.8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, proxy, mask=None, deterministic: bool = True):
@@ -196,9 +206,10 @@ class ProxyAttention(nn.Module):
         bias2 = (pc + pr).reshape(1, n, c)
         x = x + bias1 + bias2
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name='qkv')(x)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name='qkv')(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        p = nn.Dense(c, name='proxy_proj')(proxy)
+        p = nn.Dense(c, dtype=self.dtype, name='proxy_proj')(proxy)
         l = p.shape[1]
 
         def heads(t):
@@ -208,20 +219,25 @@ class ProxyAttention(nn.Module):
         scale = hd ** -0.5
 
         # stage 1: proxy as query over clusters (unmasked, faithful)
-        pa = jnp.einsum('bhld,bhnd->bhln', p * scale, k)
-        pa = jax.nn.softmax(pa, axis=-1)
+        pa = jnp.einsum('bhld,bhnd->bhln', (p * scale).astype(self.dtype),
+                        k, preferred_element_type=jnp.float32)
+        pa = jax.nn.softmax(pa, axis=-1).astype(self.dtype)
         pa = nn.Dropout(self.attn_drop, deterministic=deterministic)(pa)
-        pv = jnp.einsum('bhln,bhnd->bhld', pa, v)
+        pv = jnp.einsum('bhln,bhnd->bhld', pa, v,
+                        preferred_element_type=jnp.float32)
 
         # stage 2: proxy as key for clusters, text mask applied
-        qa = jnp.einsum('bhnd,bhld->bhnl', q * scale, p)
+        qa = jnp.einsum('bhnd,bhld->bhnl', (q * scale).astype(self.dtype),
+                        p, preferred_element_type=jnp.float32)
         if mask is not None:
             qa = jnp.where(mask[:, None, None, :], qa, -1e9)
-        qa = jax.nn.softmax(qa, axis=-1)
+        qa = jax.nn.softmax(qa, axis=-1).astype(self.dtype)
         qa = nn.Dropout(self.attn_drop, deterministic=deterministic)(qa)
-        out = jnp.einsum('bhnl,bhld->bhnd', qa, pv)
+        out = jnp.einsum('bhnl,bhld->bhnd', qa, pv.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        out = nn.Dense(c, name='proj')(out)
+        out = nn.Dense(c, dtype=self.dtype, name='proj')(out)
+        out = out.astype(jnp.float32)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -237,18 +253,19 @@ class ProxyBlock(nn.Module):
     drop_path: float = 0.0
     num_cluster: int = 12 ** 3
     dynamic_drop_radio: float = 0.8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, proxy, mask=None, deterministic: bool = True):
         h = nn.LayerNorm(name='norm1')(x)
         h = ProxyAttention(self.dim, self.num_heads, self.qkv_bias,
                            self.attn_drop, self.drop, self.num_cluster,
-                           self.dynamic_drop_radio,
+                           self.dynamic_drop_radio, self.dtype,
                            name='attn')(h, proxy, mask, deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic)
         h = nn.LayerNorm(name='norm2')(x)
         h = Mlp(int(self.dim * self.mlp_radio), self.dim,
-                self.drop, name='mlp')(h, deterministic)
+                self.drop, dtype=self.dtype, name='mlp')(h, deterministic)
         return x + DropPath(self.drop_path)(h, deterministic)
 
 
@@ -281,6 +298,9 @@ class ProxyTransformationNormReverse(nn.Module):
     margin: float = 4.0
     empty_drop: float = 0.3
     chain_blocks: bool = False  # True = chain blocks (improved, non-ref)
+    # compute dtype for the attention/MLP stacks (geometry — ball query,
+    # FPS, offsets, transforms — and all norm statistics stay float32)
+    dtype: jnp.dtype = jnp.float32
 
     @property
     def num_cluster(self):
@@ -306,7 +326,8 @@ class ProxyTransformationNormReverse(nn.Module):
         centers, pmin, pmax = self._grid_prior(points, mask)
         _, temp_cluster = ball_query(centers, points, K=self.num_sub,
                                      radius=self.radius, points_mask=mask)
-        offsets = OffsetNetwork(self.embed_dim, name='get_offsets')(
+        offsets = OffsetNetwork(self.embed_dim, dtype=self.dtype,
+                                name='get_offsets')(
             centers, temp_cluster, train)
         offsets = jnp.tanh(offsets) * self.margin
         new_centers = jnp.clip(centers + offsets, pmin, pmax)
@@ -358,9 +379,11 @@ class ProxyTransformationNormReverse(nn.Module):
         """Per-view pooled image tokens (reference :335-342)."""
         B, V, H, W, C = img_feat.shape
         x = img_feat.reshape(B * V, H, W, C)
-        x = nn.Dense(self.embed_dim, name='channel_mapper')(x)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype,
+                     name='channel_mapper')(x)
         x = AttentionPool2d(self.img_spacial_dim, self.embed_dim,
-                            self.num_heads, name='attn_pool2d')(x)
+                            self.num_heads, dtype=self.dtype,
+                            name='attn_pool2d')(x)
         x = nn.LayerNorm(name='norm_img')(x)
         return x.reshape(B, V, self.embed_dim)
 
@@ -390,7 +413,7 @@ class ProxyTransformationNormReverse(nn.Module):
             cluster, center, idx, train)
         b, m, k, _ = cluster.shape
 
-        point_proxy = SimplifiedPointNet(self.embed_dim,
+        point_proxy = SimplifiedPointNet(self.embed_dim, dtype=self.dtype,
                                          name='simple_encoder')(
                                              center, cluster, train)
 
@@ -405,6 +428,7 @@ class ProxyTransformationNormReverse(nn.Module):
                             self.qkv_bias, self.drop_rate,
                             self.attn_drop_rate, float(dpr_t[i]),
                             self.num_cluster, self.dynamic_drop_radio,
+                            self.dtype,
                             name=f'textformer_{i}')(inp, text_feats,
                                                     text_mask, det)
             tx = nn.LayerNorm(name=f'text_norm_{i}')(tx)
@@ -421,6 +445,7 @@ class ProxyTransformationNormReverse(nn.Module):
                             self.qkv_bias, self.drop_rate,
                             self.attn_drop_rate, float(dpr_i[i]),
                             self.num_cluster, self.dynamic_drop_radio,
+                            self.dtype,
                             name=f'imgformer_{i}')(inp, img_proxy, None, det)
             ix = nn.LayerNorm(name=f'img_norm_{i}')(ix)
         transform = nn.Dense(9, name='img_trans')(ix)

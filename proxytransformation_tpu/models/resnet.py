@@ -22,7 +22,10 @@ from ..utils.registry import MODELS
 
 
 class _BN(nn.Module):
-    """Eval-mode BatchNorm (running stats only, affine)."""
+    """Eval-mode BatchNorm (running stats only, affine).
+
+    Statistics and affine math stay float32 regardless of the compute
+    dtype; the output is cast back to the input's dtype."""
 
     @nn.compact
     def __call__(self, x):
@@ -33,31 +36,35 @@ class _BN(nn.Module):
                             lambda: jnp.ones((C, ))).value
         scale = self.param('scale', nn.initializers.ones, (C, ))
         bias = self.param('bias', nn.initializers.zeros, (C, ))
-        return (x - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+        eff_scale = scale / jnp.sqrt(var + 1e-5)
+        eff_bias = bias - mean * eff_scale
+        y = x.astype(jnp.float32) * eff_scale + eff_bias
+        return y.astype(x.dtype)
 
 
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name='conv1')(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name='conv1')(x)
         out = _BN(name='bn1')(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=1, use_bias=False, name='conv2')(out)
+                      padding=1, use_bias=False, dtype=self.dtype, name='conv2')(out)
         out = _BN(name='bn2')(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False, dtype=self.dtype,
                       name='conv3')(out)
         out = _BN(name='bn3')(out)
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name='downsample_conv')(x)
+                               use_bias=False, dtype=self.dtype, name='downsample_conv')(x)
             identity = _BN(name='downsample_bn')(identity)
         return nn.relu(out + identity)
 
@@ -66,20 +73,21 @@ class BasicBlock2D(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, ) * 2,
-                      padding=1, use_bias=False, name='conv1')(x)
+                      padding=1, use_bias=False, dtype=self.dtype, name='conv1')(x)
         out = _BN(name='bn1')(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                       name='conv2')(out)
         out = _BN(name='bn2')(out)
         if self.stride != 1 or x.shape[-1] != self.planes:
             identity = nn.Conv(self.planes, (1, 1),
-                               strides=(self.stride, ) * 2, use_bias=False,
+                               strides=(self.stride, ) * 2, use_bias=False, dtype=self.dtype,
                                name='downsample_conv')(x)
             identity = _BN(name='downsample_bn')(identity)
         return nn.relu(out + identity)
@@ -94,6 +102,10 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = 1  # handled by the optimizer mask, kept for parity
     remat: bool = False  # rematerialize per-block (jax.checkpoint)
+    # compute dtype for convs + activations (params and BN statistics
+    # stay float32; bfloat16 halves the activation stash and doubles
+    # MXU throughput)
+    dtype: jnp.dtype = jnp.float32
 
     arch_settings = {
         18: (BasicBlock2D, (2, 2, 2, 2)),
@@ -108,8 +120,9 @@ class ResNet(nn.Module):
         if self.remat:
             block_cls = nn.remat(block_cls)
         stage_blocks = stage_blocks[:self.num_stages]
+        x = x.astype(self.dtype)
         x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=False, name='conv1')(x)
+                    use_bias=False, dtype=self.dtype, name='conv1')(x)
         x = _BN(name='bn1')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -118,7 +131,8 @@ class ResNet(nn.Module):
             planes = self.base_channels * 2 ** i
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
-                x = block_cls(planes, stride, name=f'layer{i + 1}_{j}')(x)
+                x = block_cls(planes, stride, dtype=self.dtype,
+              name=f'layer{i + 1}_{j}')(x)
             if i in self.out_indices:
                 outs.append(x)
         return outs

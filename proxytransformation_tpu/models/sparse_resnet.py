@@ -47,7 +47,8 @@ class SparseConv(nn.Module):
         if self.use_bias:
             b = self.param('bias', nn.initializers.zeros,
                            (self.out_channels, ))
-            out = jnp.where(out_mask[..., None], out + b, 0.0)
+            out = jnp.where(out_mask[..., None],
+                            out + b.astype(out.dtype), 0.0)
         return out
 
 
@@ -134,6 +135,13 @@ class MinkResNet(nn.Module):
     capacities: Sequence[int] = (100_000, 80_000, 50_000, 20_000, 6_000,
                                  2_000)
     remat: bool = False  # rematerialize per block (jax.checkpoint)
+    # compute dtype for the residual stages. The stem conv (3ch xyz
+    # input) and its norm stay float32 — raw coordinates as features
+    # should not be quantized before the first normalization; every
+    # conv's MXU matmul is bf16 internally either way (the Pallas
+    # kernel casts), this knob additionally halves the inter-layer
+    # activation traffic and stashes.
+    dtype: jnp.dtype = jnp.float32
 
     arch_settings = {
         18: ('basic', (2, 2, 2, 2)),
@@ -157,7 +165,7 @@ class MinkResNet(nn.Module):
             x = MaskedBatchNorm(name='norm1')(x, lvl.mask, train)
         else:
             x = MaskedInstanceNorm(name='norm1')(x, lvl.mask, train)
-        x = nn.relu(x)
+        x = nn.relu(x).astype(self.dtype)
         if self.pool:
             plvl = downsample_coords(lvl, caps[1])
             pnbr = build_neighbor_map(lvl, plvl, kernel_size=2, stride=2)

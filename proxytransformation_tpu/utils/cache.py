@@ -34,12 +34,43 @@ def machine_keyed_cache_dir(prefix: str = 'pt_xla_cpu') -> str:
         f'~/.cache/{prefix}_{platform.machine()}_{tag}_{jax.__version__}')
 
 
+def _guard_callback_serialization():
+    """Skip cache writes for executables embedding python callbacks.
+
+    Interpret-mode Pallas kernels lower to python-callback custom calls
+    that are NOT registered in jax's `host_callbacks` list, so the
+    built-in _cache_write guard misses them and
+    `executable.serialize()` SEGFAULTS the process (observed on the
+    sparse-model tests under the CPU cache). Idempotent monkeypatch.
+    """
+    from jax._src import compilation_cache as cc
+    if getattr(cc.put_executable_and_time, '_pt_callback_guard', False):
+        return
+    orig = cc.put_executable_and_time
+
+    def safe_put(cache_key, module_name, executable, backend,
+                 compile_time):
+        try:
+            hlo = '\n'.join(m.to_string()
+                            for m in executable.hlo_modules())
+            if 'callback' in hlo and 'custom-call' in hlo:
+                return
+        except Exception:
+            return  # cannot prove it is safe to serialize -> skip
+        return orig(cache_key, module_name, executable, backend,
+                    compile_time)
+
+    safe_put._pt_callback_guard = True
+    cc.put_executable_and_time = safe_put
+
+
 def enable_cpu_compilation_cache(prefix: str = 'pt_xla_cpu'):
     """Machine-keyed persistent cache for CPU-backend runs (tests,
     multichip dryrun). Safe cross-machine; never a hard dependency."""
     import jax
     path = machine_keyed_cache_dir(prefix)
     try:
+        _guard_callback_serialization()
         os.makedirs(path, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', path)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
