@@ -73,10 +73,7 @@ def bench_preshape(jax, jnp, chained_ms_per_iter):
         return (p + 0.0001 * jnp.where(m[..., None], out - p, 0.0), v, im)
 
     ms = chained_ms_per_iter(step, (pts, variables, img))
-    flops = _count_flops(
-        lambda v, p, im: model.apply(v, p, mask, text, tmask, im,
-                                     train=False), variables, pts, img)
-    return B / (ms / 1e3), ms, flops
+    return B / (ms / 1e3), ms
 
 
 def _flagship_batch(jnp, B, n_points=100_000, V=20, H=480, W=480, L=32,
@@ -148,9 +145,7 @@ def bench_full_forward(jax, jnp, chained_ms_per_iter, B=2):
 
     ms = chained_ms_per_iter(step, (batch, variables), n_short=1,
                              n_long=3)
-    flops = _count_flops(
-        lambda v, b: model.apply(v, b, mode='predict'), variables, batch)
-    return B / (ms / 1e3), ms, B, flops
+    return B / (ms / 1e3), ms, B
 
 
 def bench_train_step(jax, jnp, chained_ms_per_iter, B=6):
@@ -172,36 +167,90 @@ def bench_train_step(jax, jnp, chained_ms_per_iter, B=6):
         new_s, _ = train_step(s, b, rng)
         return (new_s, b)
 
-    ms = chained_ms_per_iter(step, (state, batch), n_short=1, n_long=3)
-    flops = _count_flops(train_step, state, batch, rng)
-    return B / (ms / 1e3), ms, B, flops
+    ms = chained_ms_per_iter(step, (state, batch), n_short=1, n_long=3,
+                             donate=True)
+    return B / (ms / 1e3), ms, B
 
 
-def _count_flops(fn, *args):
-    """Analytic FLOPs of one step: host-side HLO cost analysis (no
-    device compile — works identically over the remote-TPU tunnel)."""
-    try:
-        import jax
-        ca = jax.jit(fn).lower(*args).cost_analysis() or {}
-        f = float(ca.get('flops', 0.0))
-        return f if f > 0 else None
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-        return None
+def _flops_of(stage: str) -> float:
+    """Analytic FLOPs of one step of `stage`: trace + lower on the CPU
+    backend (abstract args, no compute, no device compile) and read the
+    pre-optimization HLO cost analysis. Runs in its own subprocess with
+    the platform forced to CPU — the axon remote-TPU client returns
+    None from cost_analysis, and the Pallas TPU kernels have no CPU
+    lowering (their CPU dispatch uses the XLA formulations, whose
+    einsums ARE the algorithmic sparse-conv flops)."""
+    import jax
+    import jax.numpy as jnp
 
+    def abstract(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.result_type(x)), tree)
 
-def _mfu_fields(out, batch_divisor=1):
-    """Attach achieved_tflops + mfu to a stage result (in place)."""
-    flops, ms = out.get('flops'), out.get('ms')
-    if flops and ms:
-        tflops = flops / (ms * 1e-3) / 1e12
-        out['achieved_tflops'] = round(tflops, 2)
-        out['mfu'] = round(tflops / PEAK_BF16_TFLOPS, 4)
-    return out
+    if stage == 'preshape':
+        from proxytransformation_tpu.models.preshape import (
+            ProxyTransformationNormReverse)
+        B, N, V, L = 4, 100_000, 20, 32
+        model = ProxyTransformationNormReverse(
+            embed_dim=256, num_heads=8, n_points=N, grid_size=12,
+            text_blocks=3, img_blocks=3, dynamic_drop_radio=0.6,
+            num_sub=30, input_dim=512, img_spacial_dim=15)
+        pts = jax.ShapeDtypeStruct((B, N, 3), jnp.float32)
+        mask = jax.ShapeDtypeStruct((B, N), jnp.bool_)
+        text = jax.ShapeDtypeStruct((B, L, 256), jnp.float32)
+        tmask = jax.ShapeDtypeStruct((B, L), jnp.bool_)
+        img = jax.ShapeDtypeStruct((B, V, 15, 15, 512), jnp.float32)
+        variables = jax.eval_shape(
+            lambda k, *a: model.init(k, *a, train=False),
+            jax.random.PRNGKey(0), pts, mask, text, tmask, img)
+        fn = lambda v, *a: model.apply(v, *a, train=False)
+        lowered = jax.jit(fn).lower(variables, pts, mask, text, tmask,
+                                    img)
+    elif stage.startswith('full_forward'):
+        B = int(stage.split(':')[1])
+        model = _flagship_model()
+        batch = abstract(_flagship_batch(jnp, B))
+        variables = jax.eval_shape(
+            lambda r, b: model.init(r, b, mode='predict'),
+            jax.random.PRNGKey(0), batch)
+        lowered = jax.jit(
+            lambda v, b: model.apply(v, b, mode='predict')).lower(
+                variables, batch)
+    elif stage.startswith('train_step'):
+        from proxytransformation_tpu.engine import (build_optimizer,
+                                                    create_train_state,
+                                                    make_train_step)
+        B = int(stage.split(':')[1])
+        model = _flagship_model(remat=B >= 4, train=True)
+        batch = abstract(_flagship_batch(jnp, B, with_targets=True))
+        variables = jax.eval_shape(
+            lambda r, b: model.init(r, b, mode='loss', train=False),
+            jax.random.PRNGKey(0), batch)
+        tx = build_optimizer(variables['params'])
+        state = jax.eval_shape(
+            lambda v: create_train_state(model, v, tx), variables)
+        lowered = jax.jit(make_train_step(model, tx)).lower(
+            state, batch, jax.random.PRNGKey(1))
+    else:
+        raise ValueError(stage)
+    ca = lowered.cost_analysis() or {}
+    return float(ca.get('flops', 0.0))
 
 
 def _run_stage(stage: str):
     """Run one measurement in-process and print ONE JSON line."""
+    if stage.startswith('flops:'):
+        # trace-time switches for countable HLO: CPU platform (axon's
+        # cost_analysis returns None; Pallas kernels have no CPU
+        # lowering) and unrolled conv scans (HLO cost analysis counts
+        # while-loop bodies once, not x trip count)
+        os.environ['PT_UNROLL_SCANS'] = '1'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')  # before backend init
+        print(json.dumps({'flops': _flops_of(stage[len('flops:'):])}))
+        return
+
     import jax
     from proxytransformation_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -209,26 +258,22 @@ def _run_stage(stage: str):
     from proxytransformation_tpu.utils.timing import chained_ms_per_iter
 
     if stage == 'preshape':
-        sps, ms, flops = bench_preshape(jax, jnp, chained_ms_per_iter)
-        print(json.dumps(_mfu_fields({'scenes_per_sec': round(sps, 2),
-                                      'ms': round(ms, 2),
-                                      'flops': flops})))
+        sps, ms = bench_preshape(jax, jnp, chained_ms_per_iter)
+        print(json.dumps({'scenes_per_sec': round(sps, 2),
+                          'ms': round(ms, 2)}))
         return
     if stage.startswith('full_forward'):
         B = int(stage.split(':')[1])
-        sps, ms, used, flops = bench_full_forward(
-            jax, jnp, chained_ms_per_iter, B)
-        print(json.dumps(_mfu_fields({'scenes_per_sec': round(sps, 2),
-                                      'ms': round(ms, 1), 'batch': used,
-                                      'flops': flops})))
+        sps, ms, used = bench_full_forward(jax, jnp, chained_ms_per_iter,
+                                           B)
+        print(json.dumps({'scenes_per_sec': round(sps, 2),
+                          'ms': round(ms, 1), 'batch': used}))
         return
     if stage.startswith('train_step'):
         B = int(stage.split(':')[1])
-        sps, ms, used, flops = bench_train_step(
-            jax, jnp, chained_ms_per_iter, B)
-        print(json.dumps(_mfu_fields({'scenes_per_sec': round(sps, 2),
-                                      'ms': round(ms, 1), 'batch': used,
-                                      'flops': flops})))
+        sps, ms, used = bench_train_step(jax, jnp, chained_ms_per_iter, B)
+        print(json.dumps({'scenes_per_sec': round(sps, 2),
+                          'ms': round(ms, 1), 'batch': used}))
         return
     raise ValueError(stage)
 
@@ -279,14 +324,24 @@ def main():
             pass
 
     def _stage(name, stage, timeout_s, keys=('scenes_per_sec', 'ms',
-                                             'batch', 'flops',
-                                             'achieved_tflops', 'mfu')):
+                                             'batch')):
         res, status = _stage_subprocess(stage, timeout_s)
         extra['stages'][stage] = status
         if res:
             for k in keys:
                 if k in res:
                     extra[f'{name}_{k}'] = res[k]
+            # analytic FLOPs + MFU: a second, CPU-forced subprocess
+            # traces/lowers the same stage abstractly (cost_analysis is
+            # unavailable on the axon client)
+            fl, fstatus = _stage_subprocess(f'flops:{stage}', 1800)
+            if fl and fl.get('flops'):
+                extra[f'{name}_flops'] = fl['flops']
+                tflops = fl['flops'] / (res['ms'] * 1e-3) / 1e12
+                extra[f'{name}_achieved_tflops'] = round(tflops, 2)
+                extra[f'{name}_mfu'] = round(tflops / PEAK_BF16_TFLOPS, 4)
+            else:
+                extra['stages'][f'flops:{stage}'] = fstatus
         _checkpoint()
         return res
 

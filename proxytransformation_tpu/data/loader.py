@@ -64,22 +64,50 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
+
+        def _put(item) -> bool:
+            """put that aborts when the consumer went away."""
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in batches:
+                    if cancel.is_set():
+                        return
                     samples = [self.dataset[int(i)] for i in b]
-                    q.put(self.collate_fn(samples))
+                    if not _put(self.collate_fn(samples)):
+                        return
             except Exception as e:  # surface pipeline errors to the consumer
-                q.put(e)
-            q.put(stop)
+                _put(e)
+            _put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # Generator cleanup: a consumer that stops early (partial
+            # epoch, exception, test loop) must not leak a live worker
+            # parked on q.put — a background thread touching numpy/jax
+            # concurrently with later compiles corrupted the test
+            # process (observed: SIGSEGV inside the compilation cache).
+            cancel.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)

@@ -161,6 +161,10 @@ class MinkResNet(nn.Module):
         lvl = downsample_coords(level0, caps[0])
         nbr = build_neighbor_map(level0, lvl, kernel_size=3, stride=2)
         x = SparseConv(64, 27, name='conv1')(level0.feats, nbr, lvl.mask)
+        # stem INPUT stays f32 (raw xyz features); everything after the
+        # first conv flows in compute dtype — at B=6 the f32 stem
+        # activations alone are ~450 MB of backward stash
+        x = x.astype(self.dtype)
         if self.norm == 'batch':
             x = MaskedBatchNorm(name='norm1')(x, lvl.mask, train)
         else:

@@ -61,13 +61,15 @@ _PB, _PT, _PC, _PCNT, _CONS = range(5)
 def _make_kernel(tile: int, chunk: int):
     CROWS = chunk // 128
 
+    QR = tile // 128              # query block rows (lane-dense)
+
     def _join_kernel(start_ref,   # scalar prefetch (B, NT) int32
                      nch_ref,     # scalar prefetch (B, NT) int32
-                     q_ref,       # (1, 1, TILE, 1) int32 query block
+                     q_ref,       # (1, 1, QR, 128) int32 query block
                      keys_ref,    # (B, R, 128) int32 in ANY/HBM
-                     om_ref,      # (1, 1, TILE, 1) out: index of q-1
-                     oc_ref,      # (1, 1, TILE, 1) out: index of q
-                     op_ref,      # (1, 1, TILE, 1) out: index of q+1
+                     om_ref,      # (1, 1, QR, 128) out: index of q-1
+                     oc_ref,      # (1, 1, QR, 128) out: index of q
+                     op_ref,      # (1, 1, QR, 128) out: index of q+1
                      buf,         # VMEM (NSLOTS, CROWS, 128) int32
                      st,          # SMEM (5,) pipeline state
                      sem):        # DMA sems (NSLOTS,)
@@ -103,15 +105,20 @@ def _make_kernel(tile: int, chunk: int):
             for _ in range(AHEAD + 1):
                 produce_one()
 
-        # (TILE, 1) column layout: queries live on sublanes so the
-        # all-pairs compare against a (1, 128) key row is one broadcast
-        # (Mosaic forbids (1, TILE) blocks when TILE != the array dim)
-        qm1 = q_ref[0, 0] - 1              # (TILE, 1)
+        # The all-pairs compare wants queries on SUBLANES so one
+        # (1, 128) key row broadcasts across them. HBM arrays shaped
+        # (..., TILE, 1) are lane-padded 128x (2.55 GB of pure padding
+        # per operand at B=6 — the round-3 train OOM), so queries
+        # travel lane-dense as (QR, 128) blocks, get tpu.transpose'd to
+        # (128, QR) once per tile (Mosaic supports transpose but not a
+        # lanes->column shape cast), and each of the QR query columns
+        # runs the same all-pairs compare at identical vreg cost.
+        qm1T = jnp.swapaxes(q_ref[0, 0], 0, 1) - 1   # (128, QR)
         start = start_ref[b, t]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
 
         def body(c, carry):
-            maxe, mine = carry
+            maxes, mines = carry           # QR-tuples of (128, 128)
             slot = jax.lax.rem(st[_CONS], NSLOTS)
             ck = start + c
             pltpu.make_async_copy(
@@ -123,23 +130,34 @@ def _make_kernel(tile: int, chunk: int):
 
             rows = buf[slot]               # (CROWS, 128)
             base4 = (ck * chunk + lane) << 2
-            for r in range(CROWS):         # static unroll
-                krow = rows[r][None, :]    # (1, 128)
-                u = krow - qm1                            # (TILE, 128)
-                inb = ((u >= 0) & (u <= 2) & (krow != SENTINEL))
-                enc = (base4 + (r * 128 << 2)) + u
-                # elementwise (TILE, 128) accumulation — the cross-lane
-                # reduce happens ONCE per tile after the loop, not per
-                # key row (per-row reduces dominated the first cut)
-                maxe = jnp.maximum(maxe, jnp.where(inb, enc, -1))
-                mine = jnp.minimum(mine, jnp.where(inb, enc, SENTINEL))
-            return maxe, mine
+            new_maxes, new_mines = [], []
+            for qr in range(QR):           # static unroll
+                qcol = qm1T[:, qr:qr + 1]  # (128, 1) queries on sublanes
+                me, mi = maxes[qr], mines[qr]
+                for r in range(CROWS):     # static unroll
+                    krow = rows[r][None, :]                   # (1, 128)
+                    u = krow - qcol                           # (128, 128)
+                    inb = ((u >= 0) & (u <= 2) & (krow != SENTINEL))
+                    enc = (base4 + (r * 128 << 2)) + u
+                    # elementwise accumulation — the cross-lane reduce
+                    # happens ONCE per tile after the loop
+                    me = jnp.maximum(me, jnp.where(inb, enc, -1))
+                    mi = jnp.minimum(mi, jnp.where(inb, enc, SENTINEL))
+                new_maxes.append(me)
+                new_mines.append(mi)
+            return tuple(new_maxes), tuple(new_mines)
 
-        init = (jnp.full((tile, 128), -1, jnp.int32),
-                jnp.full((tile, 128), SENTINEL, jnp.int32))
-        maxe, mine = jax.lax.fori_loop(0, nch_ref[b, t], body, init)
-        maxe = jnp.max(maxe, axis=1, keepdims=True)       # (TILE, 1)
-        mine = jnp.min(mine, axis=1, keepdims=True)
+        init = (tuple(jnp.full((128, 128), -1, jnp.int32)
+                      for _ in range(QR)),
+                tuple(jnp.full((128, 128), SENTINEL, jnp.int32)
+                      for _ in range(QR)))
+        maxes, mines = jax.lax.fori_loop(0, nch_ref[b, t], body, init)
+        maxe = jnp.concatenate(
+            [jnp.max(m, axis=1, keepdims=True) for m in maxes], axis=1)
+        mine = jnp.concatenate(
+            [jnp.min(m, axis=1, keepdims=True) for m in mines], axis=1)
+        maxe = jnp.swapaxes(maxe, 0, 1)    # (QR, 128), lane-dense again
+        mine = jnp.swapaxes(mine, 0, 1)
 
         has = maxe >= 0
         uhi = maxe & 3
@@ -203,22 +221,23 @@ def lookup_pmz_stream(keys: jnp.ndarray, queries: jnp.ndarray,
     nch = jnp.maximum(last - start + 1, 1)
 
     grid = (B, nt)
-    # queries in a (B, nt, tile, 1) column layout: the (tile, 1) block
-    # equals the array's trailing dims (Mosaic's block-shape rule) and
-    # puts queries on sublanes, which is the broadcast the kernel wants
+    QR = tile // 128
+    # queries and outputs travel lane-dense (B, nt, QR, 128) — only a
+    # 2x sublane pad (QR=4 -> 8) instead of the 128x lane pad of a
+    # (..., tile, 1) layout; the kernel relays to columns internally
     outs = pl.pallas_call(
         _make_kernel(tile, chunk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, tile, 1),
+                pl.BlockSpec((1, 1, QR, 128),
                              lambda b, t, s_r, n_r: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, tile, 1),
+                pl.BlockSpec((1, 1, QR, 128),
                              lambda b, t, s_r, n_r: (b, t, 0, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(3)
@@ -229,7 +248,7 @@ def lookup_pmz_stream(keys: jnp.ndarray, queries: jnp.ndarray,
                 pltpu.SemaphoreType.DMA((NSLOTS, )),
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((B, nt, tile, 1), jnp.int32)
+        out_shape=[jax.ShapeDtypeStruct((B, nt, QR, 128), jnp.int32)
                    for _ in range(3)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary'), ),
@@ -238,7 +257,7 @@ def lookup_pmz_stream(keys: jnp.ndarray, queries: jnp.ndarray,
             bytes_accessed=B * (V + 4 * Q) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(start, nch, q_p.reshape(B, nt, tile, 1),
+    )(start, nch, qt.reshape(B, nt, QR, 128),
       keys_p.reshape(B, nchunk * CROWS, 128))
 
     return tuple(o.reshape(B, nt * tile)[:, :Q] for o in outs)

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -556,8 +557,16 @@ def sparse_conv_apply(feats: jnp.ndarray, nbr: jnp.ndarray,
                                 preferred_element_type=jnp.float32), None
 
     acc0 = jnp.zeros(nbr.shape[:2] + (weights.shape[-1], ), jnp.float32)
-    out, _ = jax.lax.scan(step, acc0,
-                          (weights, jnp.moveaxis(nbr, -1, 0)))
+    if os.environ.get('PT_UNROLL_SCANS'):
+        # analytic-FLOPs mode (bench.py flops stages): XLA's HLO cost
+        # analysis counts a while-loop body ONCE, not x trip count —
+        # unrolling the offset scan makes the K3 conv matmuls visible
+        out = acc0
+        for k in range(K3):
+            out, _ = step(out, (weights[k], nbr[..., k]))
+    else:
+        out, _ = jax.lax.scan(step, acc0,
+                              (weights, jnp.moveaxis(nbr, -1, 0)))
     return jnp.where(out_mask[..., None], out, 0.0).astype(feats.dtype)
 
 

@@ -291,8 +291,11 @@ def _make_dw_kernel(tile: int, kg: int, n_og: int, chunk: int):
     """
     CHUNK = chunk
 
-    def _dw_kernel(ulo_ref,     # scalar prefetch: (B, n_tiles, n_og)
-                   nch_ref,     # scalar prefetch: (B, n_tiles, n_og)
+    def _dw_kernel(ulo_ref,     # scalar prefetch: (B*n_tiles*n_og,) —
+                   nch_ref,     # flattened: SMEM pads the LAST dim to
+                                # 128 lanes, so a 3-D (B, nt, 9) array
+                                # would cost 14x its size (observed 1.2
+                                # MB > the 1 MB SMEM budget at B=6)
                    nbr_ref,     # (1, TILE, K3) int32 block
                    g_ref,       # (1, TILE, C_out) bf16 block
                    feats_ref,   # (B, V_in_pad, C_in) bf16 in ANY/HBM
@@ -319,7 +322,7 @@ def _make_dw_kernel(tile: int, kg: int, n_og: int, chunk: int):
 
             @pl.when(pg < n_og)
             def _():
-                base = ulo_ref[pb, pt, pg] + pc * CHUNK
+                base = ulo_ref[(pb * n_t + pt) * n_og + pg] + pc * CHUNK
                 slot = jax.lax.rem(st[_PCNT], NSLOTS)
                 pltpu.make_async_copy(
                     feats_ref.at[pb, pl.ds(pl.multiple_of(base, ALIGN),
@@ -327,7 +330,7 @@ def _make_dw_kernel(tile: int, kg: int, n_og: int, chunk: int):
                     buf.at[slot], sem.at[slot]).start()
                 st[_PCNT] = st[_PCNT] + 1
                 nxt_pc = pc + 1
-                done_w = nxt_pc >= nch_ref[pb, pt, pg]
+                done_w = nxt_pc >= nch_ref[(pb * n_t + pt) * n_og + pg]
                 st[_PC] = jnp.where(done_w, 0, nxt_pc)
                 nxt_pt = jnp.where(done_w, pt + 1, pt)
                 done_t = nxt_pt >= n_t
@@ -344,8 +347,8 @@ def _make_dw_kernel(tile: int, kg: int, n_og: int, chunk: int):
             for _ in range(AHEAD + 1):
                 produce_one()
 
-        ulo = ulo_ref[b, t, og]
-        nch = nch_ref[b, t, og]
+        ulo = ulo_ref[(b * n_t + t) * n_og + og]
+        nch = nch_ref[(b * n_t + t) * n_og + og]
         g_tile = g_ref[0]                         # (TILE, C_out) bf16
 
         def body(c, _):
@@ -435,6 +438,8 @@ def sparse_conv_dw_gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray,
     feats_p = _pad_to(feats, CHUNK, axis=1)
     feats_p = jnp.pad(feats_p, ((0, 0), (0, 2 * CHUNK), (0, 0)))
 
+    ulo = ulo.reshape(-1)
+    nch = nch.reshape(-1)
     grid = (n_og, B, n_tiles)
     dw = pl.pallas_call(
         _make_dw_kernel(tile, kg, n_og, CHUNK),
@@ -491,8 +496,9 @@ def _make_colwin_kernel(tile: int, kz: int, chunk: int):
     """
     CHUNK = chunk
 
-    def _kernel(ulo_ref,     # scalar prefetch: (B, n_tiles, n_cols)
-                nch_ref,     # scalar prefetch: (B, n_tiles, n_cols)
+    def _kernel(ulo_ref,     # scalar prefetch: (B*n_tiles*n_cols,) —
+                nch_ref,     # flattened (see _dw_kernel: SMEM lane
+                             # padding makes 3-D arrays 14x bigger)
                 nbr_ref,     # (1, TILE, K3) int32 block (per tile)
                 feats_ref,   # (B, V_in_pad, C_in) bf16 in ANY/HBM
                 w_ref,       # (kz, C_in, C_out) bf16 block (per col)
@@ -518,7 +524,7 @@ def _make_colwin_kernel(tile: int, kz: int, chunk: int):
 
             @pl.when(pb < n_b)
             def _():
-                base = ulo_ref[pb, pt, pg] + pc * CHUNK
+                base = ulo_ref[(pb * n_t + pt) * n_c + pg] + pc * CHUNK
                 slot = jax.lax.rem(st[_PCNT], NSLOTS)
                 pltpu.make_async_copy(
                     feats_ref.at[pb, pl.ds(pl.multiple_of(base, ALIGN),
@@ -526,7 +532,7 @@ def _make_colwin_kernel(tile: int, kz: int, chunk: int):
                     buf.at[slot], sem.at[slot]).start()
                 st[_PCNT] = st[_PCNT] + 1
                 nxt_pc = pc + 1
-                done_w = nxt_pc >= nch_ref[pb, pt, pg]
+                done_w = nxt_pc >= nch_ref[(pb * n_t + pt) * n_c + pg]
                 st[_PC] = jnp.where(done_w, 0, nxt_pc)
                 nxt_pg = jnp.where(done_w, pg + 1, pg)
                 done_g = nxt_pg >= n_c
@@ -543,8 +549,8 @@ def _make_colwin_kernel(tile: int, kz: int, chunk: int):
             for _ in range(AHEAD + 1):
                 produce_one()
 
-        ulo = ulo_ref[b, t, col]
-        nch = nch_ref[b, t, col]
+        ulo = ulo_ref[(b * n_t + t) * n_c + col]
+        nch = nch_ref[(b * n_t + t) * n_c + col]
 
         def body(c, _):
             slot = jax.lax.rem(st[_CONS], NSLOTS)
@@ -629,6 +635,8 @@ def sparse_conv_gather_gemm_colwin(feats: jnp.ndarray, nbr: jnp.ndarray,
 
     w_cols = weights.reshape(n_cols, kz, C_in, C_out)
 
+    ulo = ulo.reshape(-1)
+    nch = nch.reshape(-1)
     grid = (B, n_tiles, n_cols)
     out = pl.pallas_call(
         _make_colwin_kernel(tile, kz, CHUNK),

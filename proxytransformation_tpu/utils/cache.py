@@ -30,8 +30,11 @@ def machine_keyed_cache_dir(prefix: str = 'pt_xla_cpu') -> str:
         tag = hashlib.sha1(flags_line.encode()).hexdigest()[:8]
     except OSError:
         tag = 'nocpuinfo'
+    # v2: caches written before the callback-serialization guard may
+    # hold entries that SEGFAULT on deserialize — never reuse them
     return os.path.expanduser(
-        f'~/.cache/{prefix}_{platform.machine()}_{tag}_{jax.__version__}')
+        f'~/.cache/{prefix}_v2_{platform.machine()}_{tag}_'
+        f'{jax.__version__}')
 
 
 def _guard_callback_serialization():
