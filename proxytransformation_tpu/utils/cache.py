@@ -68,9 +68,19 @@ def _guard_callback_serialization():
 
 
 def enable_cpu_compilation_cache(prefix: str = 'pt_xla_cpu'):
-    """Machine-keyed persistent cache for CPU-backend runs (tests,
-    multichip dryrun). Safe cross-machine; never a hard dependency."""
+    """Machine-keyed persistent cache for CPU-backend runs.
+
+    DISABLED by default (set PT_CPU_COMPILE_CACHE=1 to opt in): on this
+    image, deserializing CPU executables from the cache intermittently
+    SEGFAULTS in long-lived processes — the same entry reads fine in a
+    fresh process, but the full test gate crashed three times inside
+    compilation_cache get/put (with and without the callback guard, on
+    a fresh cache, with no background threads). A slow green gate beats
+    a fast crashing one; revisit if jaxlib's CPU executable
+    serialization stabilizes."""
     import jax
+    if not os.environ.get('PT_CPU_COMPILE_CACHE'):
+        return
     path = machine_keyed_cache_dir(prefix)
     try:
         _guard_callback_serialization()

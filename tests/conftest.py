@@ -20,11 +20,10 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', False)
 
-# Persistent machine-keyed CPU compile cache: jit compiles dominate
-# suite wall time on this 1-core image; warm reruns of the standard
-# gate drop from ~40 min to minutes. Keyed by CPU features + jax
-# version so a disk image moved to a different CPU never replays blobs
-# compiled with foreign CPU features (observed SIGILL risk).
+# Persistent CPU compile cache: opt-in only (PT_CPU_COMPILE_CACHE=1).
+# It cut warm gate reruns from ~40 min to minutes, but CPU-executable
+# deserialization intermittently SEGFAULTS in long-lived processes on
+# this image (see utils/cache.py::enable_cpu_compilation_cache).
 from proxytransformation_tpu.utils.cache import (  # noqa: E402
     enable_cpu_compilation_cache)
 
