@@ -455,19 +455,23 @@ def sparse_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
     return sparse_conv_apply(feats, nbr, weights, out_mask)
 
 
-# column-window chunk tuned per stage width on v5e (2026-08): chunk 512
-# at C<=64 (spans ~250 rows still fill the MXU K dim), 256 at C>=128
-# (measured 3.4x over the union kernel at stage-2 vs 1.9x with 512)
-def _colwin_chunk(c_in: int) -> int:
-    return 512 if c_in <= 64 else 256
+# column-window (tile, chunk) tuned per channel width on v5e (2026-08
+# scan over tile {128,256,512} x chunk {256,512} at real model/neck
+# shapes, BASELINE.md): C_in<=128 -> (256, 512); C_in==256 -> (128,
+# 256) — 2.8x over (256, 256) at the 20k-voxel stage; C_in>=512 ->
+# (256, 512)
+def _colwin_params(c_in: int):
+    if c_in == 256:
+        return 128, 256
+    return 256, 512
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, ))
 def _sparse_conv_pallas_ad(self_map, feats, nbr, weights, out_mask):
     from .sparse_conv_pallas import sparse_conv_gather_gemm_colwin
+    tile, chunk = _colwin_params(feats.shape[-1])
     return sparse_conv_gather_gemm_colwin(
-        feats, nbr, weights, out_mask,
-        chunk=_colwin_chunk(feats.shape[-1]))
+        feats, nbr, weights, out_mask, tile=tile, chunk=chunk)
 
 
 def _sparse_conv_pallas_fwd(self_map, feats, nbr, weights, out_mask):
@@ -503,8 +507,9 @@ def _sparse_conv_pallas_bwd(self_map, res, g):
 
     if self_map:
         w_rev = jnp.swapaxes(weights, 1, 2)[::-1]   # (K3, C_out, C_in)
+        tile, chunk = _colwin_params(g.shape[-1])
         dfeats = sparse_conv_gather_gemm_colwin(
-            g, nbr, w_rev, out_mask, chunk=_colwin_chunk(g.shape[-1]))
+            g, nbr, w_rev, out_mask, tile=tile, chunk=chunk)
     else:
         B, V_out, K3 = nbr.shape
         V_in = feats.shape[1]
@@ -521,8 +526,9 @@ def _sparse_conv_pallas_bwd(self_map, res, g):
         rnbr = rnbr.at[b_ids, safe, k_ids].set(v_ids, mode='drop')
         w_t = jnp.swapaxes(weights, 1, 2)           # (K3, C_out, C_in)
         in_mask = jnp.ones((B, V_in), bool)         # hitless rows -> 0
+        tile, chunk = _colwin_params(g.shape[-1])
         dfeats = sparse_conv_gather_gemm_colwin(
-            g, rnbr, w_t, in_mask, chunk=_colwin_chunk(g.shape[-1]))
+            g, rnbr, w_t, in_mask, tile=tile, chunk=chunk)
 
     return (dfeats.astype(feats.dtype), None, dW.astype(weights.dtype),
             None)
