@@ -192,8 +192,10 @@ def test_real_data_cli_train_then_eval(tmp_path):
     cfg_path.write_text(_CFG.replace('{root}', root))
     work_dir = str(tmp_path / 'work')
 
+    # --amp covers the bfloat16 compute path end-to-end (params stay
+    # f32, so the checkpoint loads identically for the f32 eval below)
     _run([sys.executable, 'tools/train.py', str(cfg_path),
-          '--work-dir', work_dir])
+          '--work-dir', work_dir, '--amp'])
     ckpts = [d for d in os.listdir(work_dir) if d.startswith('ckpt')]
     assert ckpts, f'no checkpoint saved in {os.listdir(work_dir)}'
 

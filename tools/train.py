@@ -21,8 +21,11 @@ def parse_args():
     parser.add_argument('--resume', nargs='?', const='auto', default=None,
                         help='resume from latest (auto) or a path')
     parser.add_argument('--amp', action='store_true',
-                        help='kept for CLI parity (bf16 is the default '
-                             'matmul mode on TPU)')
+                        help='bfloat16 compute path (reference tools/'
+                             'train.py:94-105 AMP analog): sets model.'
+                             'compute_dtype=bfloat16 and checkpoints '
+                             'the painting gathers; geometry, norm '
+                             'statistics and losses stay float32')
     parser.add_argument('--auto-scale-lr', action='store_true')
     parser.add_argument('--launcher', default='none',
                         help='kept for CLI parity; jax.distributed '
@@ -45,6 +48,10 @@ def main():
 
     cfg = Config.fromfile(args.config)
     cfg.merge_from_dict(Config.parse_cfg_options(args.cfg_options))
+    if args.amp:
+        model_cfg = cfg.setdefault('model', {})
+        model_cfg.setdefault('compute_dtype', 'bfloat16')
+        model_cfg.setdefault('remat_painting', True)
     if cfg.get('jax_platform'):
         # e.g. 'cpu' for CI smoke runs (the axon TPU plugin ignores the
         # JAX_PLATFORMS env var on this image)
