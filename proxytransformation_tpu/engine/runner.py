@@ -332,6 +332,17 @@ class Runner:
         out['pcd_scale_factor'] = base * s
         return out
 
+    @classmethod
+    def _stack_tta_batches(cls, batch, aug_metas):
+        """All augmented copies stacked along the batch dim (one device
+        program decodes every aug; host-side lists stay unstacked)."""
+        augs = [cls._apply_tta_aug(batch, m) for m in aug_metas]
+        return {
+            k: (np.concatenate([a[k] for a in augs], axis=0)
+                if isinstance(v, np.ndarray) and v.ndim > 0 else v)
+            for k, v in augs[0].items()
+        }
+
     def val(self, resume: Optional[str] = None, init_state: bool = True,
             tta: bool = False):
         loader_cfg = self.cfg.get('val_dataloader') \
@@ -369,13 +380,23 @@ class Runner:
         aug_metas = self._tta_metas() if tta else [None]
         for batch in loader:
             batch, _ = self._pad_batch(batch, bs)
-            outs = []
-            host = None
-            for meta in aug_metas:
+            if tta and len(aug_metas) > 1:
+                # the serial per-aug loop paid a device_get sync per
+                # aug; stacking gives ~A× eval throughput
+                cat = self._stack_tta_batches(batch, aug_metas)
+                dev_batch, host = self._split_batch(cat, self.val_mesh)
+                out_all = jax.device_get(eval_fn(eval_state, dev_batch))
+                outs = [
+                    jax.tree_util.tree_map(
+                        lambda x, i=i: x[i * bs:(i + 1) * bs], out_all)
+                    for i in range(len(aug_metas))
+                ]
+            else:
+                meta = aug_metas[0]
                 aug = batch if meta is None else self._apply_tta_aug(
                     batch, meta)
                 dev_batch, host = self._split_batch(aug, self.val_mesh)
-                outs.append(jax.device_get(eval_fn(eval_state, dev_batch)))
+                outs = [jax.device_get(eval_fn(eval_state, dev_batch))]
             for b, ann in enumerate(host['eval_ann_info']):
                 if tta:
                     from ..models.tta import merge_aug_bboxes_3d

@@ -377,3 +377,32 @@ def test_runner_ema_config_detection():
     assert r._ema() is None
     r.cfg = {}
     assert r._ema() is None
+
+
+def test_tta_batch_stacking():
+    """Batched-aug TTA: the stacked batch holds each aug's arrays in
+    order along the batch dim; host lists stay unstacked."""
+    import numpy as np
+    from proxytransformation_tpu.engine.runner import Runner
+    metas = Runner._tta_metas.__get__(
+        type('R', (), {'cfg': {'tta_cfg': {'flip': True,
+                                           'pts_scale_ratio': [1.0, 1.1]}}})
+        ())()
+    B, N = 2, 16
+    rng = np.random.RandomState(0)
+    batch = {
+        'points': rng.randn(B, N, 3).astype(np.float32),
+        'points_mask': np.ones((B, N), bool),
+        'eval_ann_info': [{'idx': 0}, {'idx': 1}],
+    }
+    cat = Runner._stack_tta_batches(batch, metas)
+    A = len(metas)
+    assert cat['points'].shape == (A * B, N, 3)
+    assert cat['pcd_flip_x'].shape == (A * B, )
+    assert cat['eval_ann_info'] == batch['eval_ann_info']  # unstacked
+    for i, m in enumerate(metas):
+        aug = Runner._apply_tta_aug(batch, m)
+        np.testing.assert_array_equal(cat['points'][i * B:(i + 1) * B],
+                                      aug['points'])
+        np.testing.assert_array_equal(cat['pcd_flip_x'][i * B:(i + 1) * B],
+                                      aug['pcd_flip_x'])
