@@ -191,7 +191,9 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
         levels, self_maps = self.backbone_3d(lvl0, train=train,
                                              return_self_maps=True)
 
-        # 2D→3D painting per level (:404-479)
+        # 2D→3D painting per level (:404-479), injected into the neck so
+        # it runs on the post-prune compacted voxel sets (painting is
+        # pointwise per voxel — compaction commutes with it exactly)
         paint = jax.vmap(
             lambda imf, p, proj, vm, vmask: batch_point_sample(
                 imf, p, proj, (H, W),
@@ -200,9 +202,8 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
         if (self.remat if self.remat_painting is None
                 else self.remat_painting):
             paint = jax.checkpoint(paint)
-        painted = []
-        for lvl_idx, lvl in enumerate(levels):
-            xyz = lvl.world_xyz()  # (B, Vl, 3)
+
+        def paint_fn(xyz, vmask, lvl_idx):
             inv = jax.vmap(apply_inverse_aug)(
                 xyz,
                 batch.get('pcd_rotation'),
@@ -210,13 +211,11 @@ class SparseFeatureFusion3DGrounderPreshape(nn.Module):
                 batch.get('pcd_trans'),
                 batch.get('pcd_flip_x'),
                 batch.get('pcd_flip_y'))
-            feat2d = paint(
-                img_feats[lvl_idx], inv, batch['proj_mats'], lvl.mask,
-                batch['views_mask'])
-            painted.append(
-                lvl._replace(feats=jnp.concatenate([lvl.feats, feat2d], -1)))
+            return paint(img_feats[lvl_idx], inv, batch['proj_mats'],
+                         vmask, batch['views_mask'])
 
-        return self.neck_3d(painted, train=train, self_maps=self_maps)
+        return self.neck_3d(levels, train=train, self_maps=self_maps,
+                            paint_fn=paint_fn)
 
     # ------------------------------------------------------------------
     def pre_decoder(self, feats, scores_unused, xyz, feats_mask, text_feats,

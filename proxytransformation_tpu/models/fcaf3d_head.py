@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.sparse import (SparseLevel, build_neighbor_map,
-                          generative_transpose_map, prune_topk)
+from ..ops.sparse import (SENTINEL, SparseLevel, build_neighbor_map,
+                          compact_topk, generative_transpose_map, linearize,
+                          lookup_center)
 from ..structures.rotation import (rotation_3d_in_euler, ortho_6d_to_matrix,
                                    matrix_to_euler_angles)
 from ..utils.registry import MODELS
@@ -104,31 +105,43 @@ class FCAF3DHead(nn.Module):
         conv_reg = nn.Dense(self.num_reg_outs, name='conv_reg')
 
         outs = {}
-        x = inputs[-1].feats
-        cur_mask = inputs[-1].mask
+        P = self.pts_prune_threshold
+        cur = None  # compacted coarser level, feats = x
         prune_score = None
         for i in range(n - 1, -1, -1):
             fine = inputs[i]
-            fine_nbr = (self_maps[i] if self_maps is not None
-                        else build_neighbor_map(fine, fine, 3, 1))
             if i < n - 1:
-                coarse = inputs[i + 1]
-                parent_idx, offset_id = generative_transpose_map(fine, coarse)
-                up = _UpBlock(self.in_channels[i],
-                              name=f'up_block_{i + 1}')(
-                                  x, parent_idx, offset_id, fine_nbr,
-                                  fine.mask, train)
-                x = fine.feats + up
+                # physical prune-compact by parent score, then up + sum,
+                # then final prune to P — same two-stage machinery as
+                # MinkNeck (see sparse_neck.py docstring)
+                pkeys = jnp.where(
+                    fine.mask, linearize(fine.coords // 2, cur.extent),
+                    SENTINEL)
+                parent_idx = lookup_center(cur.keys, pkeys)
                 hit = parent_idx >= 0
                 ps = jnp.take_along_axis(prune_score,
                                          jnp.where(hit, parent_idx, 0),
                                          axis=1)
                 ps = jnp.where(hit, ps, 0.0)
-                pruned = prune_topk(fine._replace(feats=x), ps,
-                                    self.pts_prune_threshold)
-                x, cur_mask = pruned.feats, pruned.mask
+                lvl, (ps_c, ), _ = compact_topk(
+                    fine, ps, min(4 * P, fine.capacity), extras=(ps, ))
+                parent_idx_c, offset_id = generative_transpose_map(lvl, cur)
+                nbr_up = build_neighbor_map(lvl, lvl, 3, 1)
+                up = _UpBlock(self.in_channels[i],
+                              name=f'up_block_{i + 1}')(
+                                  cur.feats, parent_idx_c, offset_id,
+                                  nbr_up, lvl.mask, train)
+                x = lvl.feats + up
+                lvl, _, _ = compact_topk(lvl._replace(feats=x), ps_c,
+                                         min(P, lvl.capacity))
+                x = lvl.feats
+                fine_nbr = build_neighbor_map(lvl, lvl, 3, 1)
             else:
-                cur_mask = fine.mask
+                lvl = fine
+                x = lvl.feats
+                fine_nbr = (self_maps[i] if self_maps is not None
+                            else build_neighbor_map(lvl, lvl, 3, 1))
+            cur_mask = lvl.mask
 
             out = _OutBlock(self.out_channels, name=f'out_block_{i}')(
                 x, fine_nbr, cur_mask, train)
@@ -143,10 +156,11 @@ class FCAF3DHead(nn.Module):
 
             sel_score = jnp.where(cur_mask, jnp.max(cls_pred, -1), -jnp.inf)
             (f_c, f_b, f_cl, f_p), m = _compact_by_score(
-                [center_pred, bbox_pred, cls_pred, fine.world_xyz()],
+                [center_pred, bbox_pred, cls_pred, lvl.world_xyz()],
                 sel_score, cur_mask,
-                min(self.pts_prune_threshold, fine.capacity))
+                min(self.pts_prune_threshold, lvl.capacity))
             outs[i] = (f_c, f_b, f_cl, f_p, m)
+            cur = lvl._replace(feats=x)
 
         # fine→coarse order (the reference reverses its lists, :200-206)
         centers = jnp.concatenate([outs[i][0] for i in range(n)], 1)

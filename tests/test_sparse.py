@@ -185,3 +185,52 @@ def test_prune_topk():
     assert set(np.nonzero(m)[0]) == {7, 8, 9}  # highest valid scores
     # features zeroed at pruned slots
     assert np.all(np.asarray(pruned.feats[0])[~m] == 0)
+
+
+def test_compact_topk_matches_prune_topk():
+    """compact_topk keeps exactly prune_topk's survivor set, compacted
+    in key order, with extras gathered alongside."""
+    from proxytransformation_tpu.ops.sparse import compact_topk
+    rng = np.random.RandomState(3)
+    coords = rng.permutation(np.stack(np.meshgrid(
+        np.arange(4), np.arange(4), np.arange(4),
+        indexing='ij'), -1).reshape(-1, 3))[:40]
+    feats = rng.randn(40, 3).astype(np.float32)
+    lvl = _make_level(coords, feats, capacity=48)
+    scores = jnp.asarray(rng.randn(1, 48).astype(np.float32))
+    k = 7
+    pruned = prune_topk(lvl, scores, k)
+    compacted, (extra_s, ), src = compact_topk(lvl, scores, k,
+                                               extras=(scores, ))
+    # same survivor keys, key order preserved, static capacity k
+    want_keys = np.asarray(lvl.keys[0])[np.asarray(pruned.mask[0])]
+    got_m = np.asarray(compacted.mask[0])
+    assert compacted.keys.shape == (1, k)
+    np.testing.assert_array_equal(np.asarray(compacted.keys[0])[got_m],
+                                  want_keys)
+    assert np.all(np.diff(np.asarray(compacted.keys[0])[got_m]) > 0)
+    # feats/coords/extras follow the same rows
+    srcv = np.asarray(src[0])[got_m]
+    np.testing.assert_array_equal(np.asarray(compacted.feats[0])[got_m],
+                                  np.asarray(lvl.feats[0])[srcv])
+    np.testing.assert_array_equal(np.asarray(compacted.coords[0])[got_m],
+                                  np.asarray(lvl.coords[0])[srcv])
+    np.testing.assert_array_equal(np.asarray(extra_s[0])[got_m],
+                                  np.asarray(scores[0])[srcv])
+    # padding rows are inert: mask False, sentinel keys, zero feats
+    assert np.all(np.asarray(compacted.keys[0])[~got_m] == 2**31 - 1)
+    assert np.all(np.asarray(compacted.feats[0])[~got_m] == 0)
+
+
+def test_compact_topk_capacity_at_least_valid():
+    """capacity >= valid rows: everything survives, still key-sorted."""
+    from proxytransformation_tpu.ops.sparse import compact_topk
+    coords = np.array([[i, 0, 0] for i in range(5)], np.int32)
+    feats = np.arange(10, dtype=np.float32).reshape(5, 2)
+    lvl = _make_level(coords, feats, capacity=9)
+    scores = jnp.asarray(np.arange(9, dtype=np.float32)[None])
+    compacted, _, _ = compact_topk(lvl, scores, 8)
+    m = np.asarray(compacted.mask[0])
+    assert m.sum() == 5
+    np.testing.assert_array_equal(np.asarray(compacted.feats[0])[m],
+                                  np.asarray(lvl.feats[0])[:5])
