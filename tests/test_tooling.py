@@ -141,3 +141,37 @@ def test_explorer_full_surface(tmp_path):
         [np.array([[0, 0, 0, 1]]), np.array([[1, 1, 1, 2]])])
     assert len(occ_states) == 2
     assert occ_states[1]['points'].shape[0] == 2
+
+
+def test_surface_scene_generator():
+    """Surface scans must hit the real-data occupancy regime: level
+    occupancies within the backbone capacities (uniform scatter
+    overflows them), deterministic per seed, inside the room AABB."""
+    from proxytransformation_tpu.data.synthetic import (
+        surface_scene_batch, surface_scene_points)
+    pts = surface_scene_points(50_000, seed=3)
+    assert pts.shape == (50_000, 3) and pts.dtype == np.float32
+    again = surface_scene_points(50_000, seed=3)
+    assert np.array_equal(pts, again)
+    assert (pts.min(0) > -0.1).all() and (pts.max(0) < [11.2, 9.2, 3.2]).all()
+
+    full = surface_scene_points(100_000, seed=0)
+    q0 = np.floor((full - full.min(0)) / 0.01).astype(np.int64)
+    # occupancy at the backbone's stage strides stays within the
+    # real-data capacities (sparse_resnet.MinkResNet docstring):
+    # 2cm<=100k, 4cm<=80k, 8cm<=50k, 16cm<=20k
+    for stride, cap in ((2, 100_000), (4, 80_000), (8, 50_000),
+                        (16, 20_000)):
+        q = q0 // stride
+        n = len(np.unique((q[:, 0] * 4096 + q[:, 1]) * 4096 + q[:, 2]))
+        assert n <= cap, (stride, n)
+    # 2D manifold: coarsening 8x -> 16x shrinks occupancy ~4x
+    n8 = len(np.unique(((q0 // 8)[:, 0] * 4096 + (q0 // 8)[:, 1]) * 4096
+                       + (q0 // 8)[:, 2]))
+    n16 = len(np.unique(((q0 // 16)[:, 0] * 4096 + (q0 // 16)[:, 1]) * 4096
+                        + (q0 // 16)[:, 2]))
+    assert 2.5 < n8 / n16 < 6.0
+
+    b = surface_scene_batch(2, 10_000, seed=1)
+    assert b.shape == (2, 10_000, 3)
+    assert not np.array_equal(b[0], b[1])  # distinct scenes per sample

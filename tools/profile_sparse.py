@@ -19,6 +19,8 @@ sys.path.insert(0, '.')
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=2)
+    ap.add_argument('--scene', choices=('surface', 'uniform'),
+                    default='surface')
     args = ap.parse_args()
     B = args.batch
 
@@ -32,8 +34,13 @@ def main():
         sparse_conv)
 
     rng = np.random.RandomState(0)
-    pts = jnp.asarray(
-        rng.uniform(0, 6.0, (B, 100_000, 3)).astype(np.float32))
+    if args.scene == 'uniform':
+        pts = jnp.asarray(
+            rng.uniform(0, 6.0, (B, 100_000, 3)).astype(np.float32))
+    else:
+        from proxytransformation_tpu.data.synthetic import (
+            surface_scene_batch)
+        pts = jnp.asarray(surface_scene_batch(B, 100_000, seed=0))
     mask = jnp.ones((B, 100_000), bool)
 
     caps = (100_000, 80_000, 50_000, 20_000, 6_000, 2_000)
