@@ -44,7 +44,6 @@ def _ball_query_idx(centers: jnp.ndarray, points: jnp.ndarray,
         points_mask = jnp.ones((B, N), bool)
 
     sentinel = jnp.int32(n_chunks * T)
-    c_sq = jnp.sum(centers * centers, axis=-1)  # (B, M)
 
     pts_chunks = points.reshape(B, n_chunks, T, 3).transpose(1, 0, 2, 3)
     mask_chunks = points_mask.reshape(B, n_chunks, T).transpose(1, 0, 2)
@@ -53,12 +52,14 @@ def _ball_query_idx(centers: jnp.ndarray, points: jnp.ndarray,
     def body(carry, inp):
         best = carry  # (B, M, K) int32 keys (ascending = best)
         pts, msk, off = inp  # (B, T, 3), (B, T), ()
-        # d2 tile via matmul: |c|^2 - 2 c.p + |p|^2
-        dot = jnp.einsum('bmd,btd->bmt', centers, pts,
-                         precision='highest',
-                         preferred_element_type=jnp.float32)
-        p_sq = jnp.sum(pts * pts, axis=-1)  # (B, T)
-        d2 = c_sq[:, :, None] - 2.0 * dot + p_sq[:, None, :]
+        # d2 tile via per-coordinate subtract-square broadcasts — the
+        # SAME f32 expression the Pallas kernel computes, so the two
+        # paths stay bit-exact at the radius boundary (a |c|²-2c·p+|p|²
+        # matmul rounds differently)
+        dx = pts[:, None, :, 0] - centers[:, :, None, 0]  # (B, M, T)
+        dy = pts[:, None, :, 1] - centers[:, :, None, 1]
+        dz = pts[:, None, :, 2] - centers[:, :, None, 2]
+        d2 = dx * dx + dy * dy + dz * dz
         within = (d2 < radius2) & msk[:, None, :]
         keys = jnp.where(within,
                          (off + jnp.arange(T, dtype=jnp.int32))[None, None, :],
