@@ -268,8 +268,11 @@ class GroundingHead(nn.Module):
             per_box = chamfer_corner_loss(src, bbox_targets,
                                           self.bbox_loss_mode,
                                           self.bbox_loss_group)
-            return jnp.sum(per_box * pos_f) / jnp.maximum(
-                jnp.sum(pos_f), 1.0)
+            # normalize by the cross-device-mean positive count
+            # (np_sync), matching reference reduce_mean semantics
+            # (ref grounding_head.py:745-758): under DP the grads are
+            # pmean'd, so sum_local/pmean(count) == global_sum/global_count
+            return jnp.sum(per_box * pos_f) / np_sync
 
         if self.decouple_bbox_loss:
             w = self.decouple_weights
