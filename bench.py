@@ -4,13 +4,14 @@ Three honest measurements on whatever backend is available (the real
 TPU under the driver):
 
   1. full detector forward (extract_feat + decoder + head, predict
-     path) at flagship scale, B=2. PRIMARY metric; `vs_baseline`
-     anchors to the round-2 TPU measurement (BASELINE.md: 605.5 ms →
-     3.3 scenes/s/chip).
+     path) at flagship scale, B=2. PRIMARY metric. Measured on BOTH
+     scene regimes (surface scans = the realistic workload and the
+     reported ms; uniform scatter = the historical anchor workload);
+     each vs_baseline ratio compares like-for-like (see ANCHORS).
   2. preshape fwd — BASELINE.json config #3 ("full ProxyTransformation
      module: text + multi-view image proxies, batch=4 scenes") at the
      reference scale (grid 12 → 1728 clusters, dynamic_drop 0.6, 100k
-     points, 20 views, CLIP-text dims).
+     points, 20 views, CLIP-text dims); both regimes.
   3. jitted train step (loss + grads + AdamW update) at the reference
      per-device config (B=6, 100k pts, 20 views — configs/...clip.py:146),
      falling back to a smaller B on OOM with the B used reported.
@@ -39,17 +40,27 @@ import numpy as np
 
 # Anchors for vs_baseline: our own honest TPU measurements (the PyTorch
 # reference's CUDA/MinkowskiEngine stack cannot run in this environment
-# and the repo publishes no numbers — see BASELINE.md).
-#   full forward: round-2, B=2, 605.5 ms -> 3.30 scenes/s/chip
-#   preshape:     round-1, B=4, 22.7 ms -> 176 scenes/s/chip
-FULL_FWD_BASELINE_SPS = 3.30
-PRESHAPE_BASELINE_SPS = 176.0
+# and the repo publishes no numbers — see BASELINE.md). Anchors are PER
+# SCENE REGIME — round 3 switched the default workload from uniform
+# scatter to surface scans mid-round, which made the single-anchor
+# ratios apples-to-oranges (ADVICE r3); both regimes are now measured
+# and each compared against an anchor measured on the SAME regime:
+#   uniform: full fwd round-2 (605.5 ms B=2 -> 3.30 scenes/s/chip),
+#            preshape round-1 (22.7 ms B=4 -> 176 scenes/s/chip);
+#   surface: the round-3 first-surface measurements (258.9 ms B=2 ->
+#            7.73 scenes/s; 34.13 ms B=4 -> 117.21 scenes/s).
+# The headline vs_baseline keys use the uniform (like-for-like, oldest
+# anchor) ratios; *_surface keys carry the surface regime.
+ANCHORS = {
+    'uniform': {'full_fwd_sps': 3.30, 'preshape_sps': 176.0},
+    'surface': {'full_fwd_sps': 7.73, 'preshape_sps': 117.21},
+}
 
 # Peak bf16 matmul throughput of one chip, for MFU. v5e: 197 TFLOP/s.
 PEAK_BF16_TFLOPS = float(os.environ.get('BENCH_PEAK_TFLOPS', '197'))
 
 
-def bench_preshape(jax, jnp, chained_ms_per_iter):
+def bench_preshape(jax, jnp, chained_ms_per_iter, scene='surface'):
     from proxytransformation_tpu.models.preshape import (
         ProxyTransformationNormReverse)
     B, N, V, L = 4, 100_000, 20, 32
@@ -58,7 +69,8 @@ def bench_preshape(jax, jnp, chained_ms_per_iter):
         text_blocks=3, img_blocks=3, dynamic_drop_radio=0.6, num_sub=30,
         input_dim=512, img_spacial_dim=15)
     rng = np.random.RandomState(0)
-    pts = jnp.asarray(_scene_points(B, N))
+    # uniform regime: (-5, 5) — the round-1 preshape anchor workload
+    pts = jnp.asarray(_scene_points(B, N, scene, low=-5.0, high=5.0))
     mask = jnp.ones((B, N), bool)
     text = jnp.asarray(rng.randn(B, L, 256).astype(np.float32))
     tmask = jnp.ones((B, L), bool)
@@ -76,31 +88,32 @@ def bench_preshape(jax, jnp, chained_ms_per_iter):
     return B / (ms / 1e3), ms
 
 
-def _scene_points(B, n_points):
-    """Benchmark point clouds: surface-like indoor scans by default.
+def _scene_points(B, n_points, scene='surface', low=0.0, high=6.0):
+    """Benchmark point clouds for the requested regime.
 
     Real EmbodiedScan clouds are RGB-D surface samples; uniform-random
     scatter is a pathological occupancy regime for any sparse engine
     (level occupancies overflow the real-data capacities — see
-    data/synthetic.py::surface_scene_points). BENCH_SCENE=uniform keeps
-    the old workload for cross-round continuity checks.
-    """
-    if os.environ.get('BENCH_SCENE', 'surface') == 'uniform':
+    data/synthetic.py::surface_scene_points). Both regimes are measured
+    every run; (low, high) reproduces the historical uniform anchor
+    workloads per call site (preshape: (-5, 5); flagship: (0, 6))."""
+    if scene == 'uniform':
         rng = np.random.RandomState(0)
-        return rng.uniform(0, 6.0, (B, n_points, 3)).astype(np.float32)
+        return rng.uniform(low, high, (B, n_points, 3)).astype(np.float32)
     from proxytransformation_tpu.data.synthetic import surface_scene_batch
     return surface_scene_batch(B, n_points, seed=0)
 
 
 def _flagship_batch(jnp, B, n_points=100_000, V=20, H=480, W=480, L=32,
-                    with_targets=False, max_text_len=256):
+                    with_targets=False, max_text_len=256,
+                    scene='surface'):
     rng = np.random.RandomState(0)
     proj = np.tile(
         np.array([[400, 0, W / 2, 0], [0, 400, H / 2, 0], [0, 0, 1, 0],
                   [0, 0, 0, 1]], np.float32), (B, V, 1, 1))
     batch = {
         'imgs': jnp.asarray(rng.randn(B, V, H, W, 3).astype(np.float32)),
-        'points': jnp.asarray(_scene_points(B, n_points)),
+        'points': jnp.asarray(_scene_points(B, n_points, scene)),
         'points_mask': jnp.ones((B, n_points), bool),
         'input_ids': jnp.asarray(rng.randint(0, 49408, (B, L)), jnp.int32),
         'text_mask': jnp.ones((B, L), bool),
@@ -140,9 +153,10 @@ def _flagship_model(remat=False, train=False):
         remat=remat, remat_painting=train or remat, compute_dtype=dt)
 
 
-def bench_full_forward(jax, jnp, chained_ms_per_iter, B=2):
+def bench_full_forward(jax, jnp, chained_ms_per_iter, B=2,
+                       scene='surface'):
     model = _flagship_model()
-    batch = _flagship_batch(jnp, B)
+    batch = _flagship_batch(jnp, B, scene=scene)
     variables = jax.jit(
         lambda rng, b: model.init(rng, b, mode='predict'))(
             jax.random.PRNGKey(0), batch)
@@ -163,12 +177,13 @@ def bench_full_forward(jax, jnp, chained_ms_per_iter, B=2):
     return B / (ms / 1e3), ms, B
 
 
-def bench_train_step(jax, jnp, chained_ms_per_iter, B=6):
+def bench_train_step(jax, jnp, chained_ms_per_iter, B=6,
+                     scene='surface'):
     from proxytransformation_tpu.engine import (build_optimizer,
                                                 create_train_state,
                                                 make_train_step)
     model = _flagship_model(remat=B >= 4, train=True)
-    batch = _flagship_batch(jnp, B, with_targets=True)
+    batch = _flagship_batch(jnp, B, with_targets=True, scene=scene)
     variables = jax.jit(
         lambda rng, b: model.init(rng, b, mode='loss', train=False))(
             jax.random.PRNGKey(0), batch)
@@ -272,23 +287,28 @@ def _run_stage(stage: str):
     import jax.numpy as jnp
     from proxytransformation_tpu.utils.timing import chained_ms_per_iter
 
-    if stage == 'preshape':
-        sps, ms = bench_preshape(jax, jnp, chained_ms_per_iter)
+    parts = stage.split(':')
+    scene = parts[-1] if parts[-1] in ('surface', 'uniform') else 'surface'
+    if parts[0] == 'preshape':
+        sps, ms = bench_preshape(jax, jnp, chained_ms_per_iter, scene)
         print(json.dumps({'scenes_per_sec': round(sps, 2),
-                          'ms': round(ms, 2)}))
+                          'ms': round(ms, 2), 'scene': scene}))
         return
-    if stage.startswith('full_forward'):
-        B = int(stage.split(':')[1])
+    if parts[0] == 'full_forward':
+        B = int(parts[1])
         sps, ms, used = bench_full_forward(jax, jnp, chained_ms_per_iter,
-                                           B)
+                                           B, scene)
         print(json.dumps({'scenes_per_sec': round(sps, 2),
-                          'ms': round(ms, 1), 'batch': used}))
+                          'ms': round(ms, 1), 'batch': used,
+                          'scene': scene}))
         return
-    if stage.startswith('train_step'):
-        B = int(stage.split(':')[1])
-        sps, ms, used = bench_train_step(jax, jnp, chained_ms_per_iter, B)
+    if parts[0] == 'train_step':
+        B = int(parts[1])
+        sps, ms, used = bench_train_step(jax, jnp, chained_ms_per_iter, B,
+                                         scene)
         print(json.dumps({'scenes_per_sec': round(sps, 2),
-                          'ms': round(ms, 1), 'batch': used}))
+                          'ms': round(ms, 1), 'batch': used,
+                          'scene': scene}))
         return
     raise ValueError(stage)
 
@@ -338,8 +358,10 @@ def main():
         except OSError:
             pass
 
+    flops_cache = {}
+
     def _stage(name, stage, timeout_s, keys=('scenes_per_sec', 'ms',
-                                             'batch')):
+                                             'batch', 'scene')):
         res, status = _stage_subprocess(stage, timeout_s)
         extra['stages'][stage] = status
         if res:
@@ -348,38 +370,54 @@ def main():
                     extra[f'{name}_{k}'] = res[k]
             # analytic FLOPs + MFU: a second, CPU-forced subprocess
             # traces/lowers the same stage abstractly (cost_analysis is
-            # unavailable on the axon client)
-            fl, fstatus = _stage_subprocess(f'flops:{stage}', 1800)
+            # unavailable on the axon client). FLOPs depend only on the
+            # shapes, not the scene regime — strip the scene and cache.
+            fstage = ':'.join(p for p in stage.split(':')
+                              if p not in ('surface', 'uniform'))
+            if fstage not in flops_cache:
+                fl, fstatus = _stage_subprocess(f'flops:{fstage}', 1800)
+                flops_cache[fstage] = fl
+                if not (fl and fl.get('flops')):
+                    extra['stages'][f'flops:{fstage}'] = fstatus
+            fl = flops_cache[fstage]
             if fl and fl.get('flops'):
                 extra[f'{name}_flops'] = fl['flops']
                 tflops = fl['flops'] / (res['ms'] * 1e-3) / 1e12
                 extra[f'{name}_achieved_tflops'] = round(tflops, 2)
                 extra[f'{name}_mfu'] = round(tflops / PEAK_BF16_TFLOPS, 4)
-            else:
-                extra['stages'][f'flops:{stage}'] = fstatus
         _checkpoint()
         return res
 
-    ff = _stage('full_forward', 'full_forward:2', 3600)
+    ff = _stage('full_forward', 'full_forward:2:surface', 3600)
     if not ff:
-        ff = _stage('full_forward', 'full_forward:1', 2400)
+        ff = _stage('full_forward', 'full_forward:1:surface', 2400)
+    ffu = _stage('full_forward_uniform', 'full_forward:2:uniform', 2400)
 
-    pre = _stage('preshape', 'preshape', 2400)
+    pre = _stage('preshape', 'preshape:surface', 2400)
+    preu = _stage('preshape_uniform', 'preshape:uniform', 1800)
 
-    ts = _stage('train_step', 'train_step:6', 3600)
+    ts = _stage('train_step', 'train_step:6:surface', 3600)
     if not ts:
-        ts = _stage('train_step', 'train_step:2', 3600)
+        ts = _stage('train_step', 'train_step:2:surface', 3600)
+
+    def _ratio(res, regime, which):
+        if not res:
+            return None
+        return round(res['scenes_per_sec'] / ANCHORS[regime][which], 3)
 
     ff_sps = (ff or {}).get('scenes_per_sec')
     result = dict({
         'metric': 'full_detector_fwd_scenes_per_sec_per_chip',
         'value': round(ff_sps, 2) if ff_sps else None,
         'unit': 'scenes/s',
-        'vs_baseline': (round(ff_sps / FULL_FWD_BASELINE_SPS, 3)
-                        if ff_sps else None),
-        'preshape_vs_baseline': (
-            round(pre['scenes_per_sec'] / PRESHAPE_BASELINE_SPS, 3)
-            if pre else None),
+        # headline ratios are like-for-like on the uniform regime (the
+        # round-1/2 anchors); *_surface are like-for-like on surface
+        # (round-3 anchors). See ANCHORS above and BASELINE.md.
+        'vs_baseline': _ratio(ffu, 'uniform', 'full_fwd_sps'),
+        'vs_baseline_surface': _ratio(ff, 'surface', 'full_fwd_sps'),
+        'preshape_vs_baseline': _ratio(preu, 'uniform', 'preshape_sps'),
+        'preshape_vs_baseline_surface': _ratio(pre, 'surface',
+                                               'preshape_sps'),
     }, **extra)
     with open(partial_path, 'w') as f:
         json.dump(result, f, indent=1)

@@ -158,10 +158,10 @@ def test_surface_scene_generator():
     full = surface_scene_points(100_000, seed=0)
     q0 = np.floor((full - full.min(0)) / 0.01).astype(np.int64)
     # occupancy at the backbone's stage strides stays within the
-    # real-data capacities (sparse_resnet.MinkResNet docstring):
-    # 2cm<=100k, 4cm<=80k, 8cm<=50k, 16cm<=20k
-    for stride, cap in ((2, 100_000), (4, 80_000), (8, 50_000),
-                        (16, 20_000)):
+    # actual backbone capacities (import, don't duplicate — retuned
+    # capacities must keep being guarded here)
+    from proxytransformation_tpu.models.sparse_resnet import MinkResNet
+    for stride, cap in zip((2, 4, 8, 16), MinkResNet.capacities[:4]):
         q = q0 // stride
         n = len(np.unique((q[:, 0] * 4096 + q[:, 1]) * 4096 + q[:, 2]))
         assert n <= cap, (stride, n)

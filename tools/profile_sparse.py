@@ -1,7 +1,9 @@
 """Per-piece timing of the sparse 3D backbone at flagship scale.
 
 backbone3d is the dominant cost of the full forward (339 ms of 514 at
-B=2, round-3 profile); this breaks it into neighbor-map builds,
+B=2, round-3 profile — measured with --scene uniform, the then-default
+workload; the current default is surface, so new runs are not directly
+comparable to those numbers); this breaks it into neighbor-map builds,
 downsamples, convolutions and norms at the real level shapes so the
 next kernel target is chosen by measurement, not guess.
 
