@@ -33,6 +33,7 @@ class Det3DDataPreprocessor:
                  max_text_len: int = 256,
                  max_gts: int = 8,
                  point_channels: int = 3,
+                 max_occ: int = 20_000,
                  tokenizer_path: Optional[str] = None):
         if point_channels < 3:
             raise ValueError(
@@ -46,6 +47,7 @@ class Det3DDataPreprocessor:
         self.max_text_len = max_text_len
         self.max_gts = max_gts
         self.point_channels = point_channels
+        self.max_occ = max_occ
         self.tokenizer = build_tokenizer(tokenizer_path)
 
     def _norm_img(self, img: np.ndarray) -> np.ndarray:
@@ -170,5 +172,33 @@ class Det3DDataPreprocessor:
         batch['pcd_rotation'] = rot
         batch['pcd_scale_factor'] = scale[:, None]
         batch['pcd_trans'] = trans
+
+        # detection per-gt class ids (Embodied3DDetector loss target)
+        if any(s.get('gt_labels_3d') is not None
+               and len(np.atleast_1d(s['gt_labels_3d'])) for s in samples):
+            gt_labels = np.zeros((B, G), np.int32)
+            for b, s in enumerate(samples):
+                lab = np.atleast_1d(np.asarray(s.get('gt_labels_3d', []),
+                                               np.int64))
+                g = min(len(lab), G)
+                gt_labels[b, :g] = lab[:g]
+            batch['gt_labels'] = gt_labels
+
+        # occupancy sparse targets (EmbodiedOccPredictor loss target):
+        # (B, max_occ, 4) [x, y, z, label] + validity mask
+        if any(s.get('gt_occupancy') is not None for s in samples):
+            O = self.max_occ
+            occ = np.zeros((B, O, 4), np.float32)
+            occ_mask = np.zeros((B, O), bool)
+            for b, s in enumerate(samples):
+                g = np.asarray(s.get('gt_occupancy',
+                                     np.zeros((0, 4))),
+                               np.float32).reshape(-1, 4)
+                n = min(len(g), O)
+                occ[b, :n] = g[:n]
+                occ_mask[b, :n] = True
+            batch['gt_occupancy'] = occ
+            batch['gt_occupancy_masks'] = occ_mask
+
         batch['eval_ann_info'] = [s.get('eval_ann_info') for s in samples]
         return batch

@@ -166,3 +166,32 @@ class SyntheticGroundingDataset:
                 'is_unique': bool(idx % 4 == 0),
             },
         }
+
+
+@DATASETS.register_module()
+class SyntheticOccupancyDataset(SyntheticGroundingDataset):
+    """Synthetic occupancy task samples: the grounding scene plus sparse
+    (n, 4) [x, y, z, label] occupancy targets on the occ model's voxel
+    grid (the reference's occupancy annotations are the same sparse
+    format, reference losses/occ_loss.py:7-36)."""
+
+    def __init__(self, n_voxels=(16, 16, 8), num_classes: int = 6,
+                 n_occupied: int = 64, **kw):
+        super().__init__(**kw)
+        self.n_voxels = tuple(n_voxels)
+        self.num_classes = num_classes
+        self.n_occupied = n_occupied
+
+    def __getitem__(self, idx: int) -> dict:
+        sample = super().__getitem__(idx)
+        rng = np.random.RandomState(self.seed * 999983 + idx)
+        X, Y, Z = self.n_voxels
+        occ = np.stack([
+            rng.randint(0, X, self.n_occupied),
+            rng.randint(0, Y, self.n_occupied),
+            rng.randint(0, Z, self.n_occupied),
+            rng.randint(1, self.num_classes, self.n_occupied),
+        ], -1).astype(np.float32)
+        sample['gt_occupancy'] = occ
+        sample['eval_ann_info']['gt_occupancy'] = occ
+        return sample

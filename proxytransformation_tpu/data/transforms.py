@@ -414,6 +414,11 @@ class Pack3DDetInputs:
                 'is_unique': results.get('is_unique', False),
             },
         }
+        if results.get('gt_occupancy') is not None:
+            sample['gt_occupancy'] = np.asarray(results['gt_occupancy'],
+                                                np.float32)
+            sample['eval_ann_info']['gt_occupancy'] = \
+                sample['gt_occupancy']
         return sample
 
 

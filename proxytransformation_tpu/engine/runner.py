@@ -11,6 +11,7 @@ runner/loops.py:19-84).
 """
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -35,14 +36,96 @@ logger = logging.getLogger('proxytransformation_tpu')
 _DEVICE_KEYS = ('imgs', 'points', 'points_mask', 'input_ids', 'text_mask',
                 'proj_mats', 'views_mask', 'gt_bboxes', 'gt_masks',
                 'positive_maps', 'pcd_rotation', 'pcd_scale_factor',
-                'pcd_trans', 'pcd_flip_x', 'pcd_flip_y')
+                'pcd_trans', 'pcd_flip_x', 'pcd_flip_y', 'gt_labels',
+                'gt_occupancy', 'gt_occupancy_masks')
+
+# model-config `type` → task; every task trains/evals through the same
+# Runner (the reference trains detection/occupancy with the same
+# tools/train.py → Runner.from_cfg, reference tools/train.py:151-163)
+_MODEL_TASKS = {
+    'SparseFeatureFusion3DGrounderPreshape': 'grounding',
+    'SparseFeatureFusion3DGrounder': 'grounding',
+    'Embodied3DDetector': 'detection',
+    'EmbodiedOccPredictor': 'occupancy',
+    'DenseFusionOccPredictor': 'occupancy',
+}
+
+
+def _build_detection_model(cfg: Dict[str, Any]):
+    """`Embodied3DDetector` from a reference-style detection config
+    (configs/detection/embodied-det3d-resnet50.py)."""
+    from ..models.embodied_det3d import Embodied3DDetector
+    kw: Dict[str, Any] = {}
+    for k in ('voxel_size', 'n_points', 'num_classes', 'voxel_extent',
+              'pts_prune_threshold'):
+        if k in cfg:
+            kw[k] = cfg[k]
+    bb = cfg.get('backbone', {})
+    if 'base_channels' in bb:
+        kw['img_base_channels'] = bb['base_channels']
+    if 'depth' in bb:
+        kw['img_depth'] = bb['depth']
+    b3d = cfg.get('backbone_3d', {})
+    if 'depth' in b3d:
+        kw['backbone3d_depth'] = b3d['depth']
+    if 'capacities' in b3d:
+        kw['sparse_capacities'] = tuple(b3d['capacities'])
+    head = cfg.get('bbox_head', {})
+    if 'out_channels' in head:
+        kw['head_out_channels'] = head['out_channels']
+    if 'pts_prune_threshold' in head:
+        kw['pts_prune_threshold'] = head['pts_prune_threshold']
+    if 'num_classes' in head:
+        kw.setdefault('num_classes', head['num_classes'])
+    if head.get('type') == 'FCAF3DHeadRotMat' \
+            or head.get('num_reg_outs') == 12:
+        kw['rot_param'] = 'ortho6d'
+    return Embodied3DDetector(**kw)
+
+
+def _build_occ_model(cfg: Dict[str, Any], fuse_points: bool):
+    """`EmbodiedOccPredictor` / `DenseFusionOccPredictor` from a
+    reference-style occupancy config (configs/occupancy/embodied-occ.py).
+    """
+    from ..models.occ import (DenseFusionOccPredictor,
+                              EmbodiedOccPredictor)
+    kw: Dict[str, Any] = {}
+    for k in ('n_voxels', 'voxel_range', 'num_classes'):
+        if k in cfg:
+            kw[k] = tuple(cfg[k]) if isinstance(cfg[k],
+                                                (list, tuple)) else cfg[k]
+    bb = cfg.get('backbone', {})
+    if 'base_channels' in bb:
+        kw['img_base_channels'] = bb['base_channels']
+    if 'depth' in bb:
+        kw['img_depth'] = bb['depth']
+    neck = cfg.get('neck_3d', {})
+    if 'out_channels' in neck:
+        kw['neck_channels'] = neck['out_channels']
+    head = cfg.get('bbox_head', {})
+    if 'use_semantic' in head:
+        kw['use_semantic'] = head['use_semantic']
+    if 'num_classes' in head:
+        kw.setdefault('num_classes', head['num_classes'])
+    cls = DenseFusionOccPredictor if fuse_points else EmbodiedOccPredictor
+    return cls(**kw)
 
 
 def build_model_from_cfg(model_cfg: Dict[str, Any]):
     """Translate a reference-style nested model config into the flat
-    flax detector (keeps the reference config surface)."""
+    flax model, dispatching on `type` (grounding / detection /
+    occupancy — reference tools/train.py trains all three through the
+    same Runner; the detection checkpoint warm-starts the grounder,
+    reference configs/...clip.py:247)."""
     from ..models.detector import SparseFeatureFusion3DGrounderPreshape
     cfg = dict(model_cfg)
+    mtype = cfg.get('type', 'SparseFeatureFusion3DGrounderPreshape')
+    task = _MODEL_TASKS.get(mtype, 'grounding')
+    if task == 'detection':
+        return _build_detection_model(cfg)
+    if task == 'occupancy':
+        return _build_occ_model(
+            cfg, fuse_points=mtype == 'DenseFusionOccPredictor')
     kw: Dict[str, Any] = {}
     for k in ('num_queries', 'voxel_size', 'use_xyz_feat', 'n_points',
               'remat', 't_type'):
@@ -92,10 +175,15 @@ class Runner:
         logging.basicConfig(level=logging.INFO)
 
         self.model = build_model_from_cfg(cfg['model'])
+        self.task = _MODEL_TASKS.get(
+            cfg['model'].get('type', 'SparseFeatureFusion3DGrounderPreshape'),
+            'grounding')
         pp_cfg = dict(cfg['model'].get('data_preprocessor', {}))
         pp_cfg.pop('type', None)
-        pp_cfg.setdefault('n_points', getattr(self.model, 'n_points'))
-        pp_cfg.setdefault('max_text_len', getattr(self.model, 'max_text_len'))
+        pp_cfg.setdefault('n_points', getattr(self.model, 'n_points',
+                                              100_000))
+        pp_cfg.setdefault('max_text_len', getattr(self.model, 'max_text_len',
+                                                  256))
         self.n_views = cfg.get('n_views', 20)
         pp_cfg.setdefault('n_views', self.n_views)
         self.preprocessor = Det3DDataPreprocessor(**pp_cfg)
@@ -349,10 +437,13 @@ class Runner:
             or self.cfg.get('test_dataloader')
         loader = self._build_loader(loader_cfg, train=False)
         self._steps_per_epoch = max(len(loader), 1)
+        default_metric = {'grounding': 'GroundingMetric',
+                          'detection': 'IndoorDetMetric',
+                          'occupancy': 'OccupancyMetric'}[self.task]
         metric_cfg = dict(self.cfg.get('val_evaluator',
-                                       {'type': 'GroundingMetric'}))
-        metric_cfg.pop('type', None)
-        metric = GroundingMetric(**metric_cfg)
+                                       {'type': default_metric}))
+        metric_cfg.setdefault('type', default_metric)
+        metric = METRICS.build(metric_cfg)
 
         bs = loader_cfg.get('batch_size', 1)
         if init_state or self.state is None:
@@ -378,6 +469,8 @@ class Runner:
             logger.info('validating with EMA-averaged weights')
             eval_state = eval_state.replace(params=eval_state.ema_params)
         aug_metas = self._tta_metas() if tta else [None]
+        if self.task != 'grounding' and tta:
+            raise NotImplementedError('TTA is a grounding-path feature')
         for batch in loader:
             batch, _ = self._pad_batch(batch, bs)
             if tta and len(aug_metas) > 1:
@@ -397,8 +490,36 @@ class Runner:
                     batch, meta)
                 dev_batch, host = self._split_batch(aug, self.val_mesh)
                 outs = [jax.device_get(eval_fn(eval_state, dev_batch))]
+            if self.task == 'detection':
+                # decode+NMS, batched on device: ONE vmapped program per
+                # batch covering every (scene, class) — replaces the
+                # reference's host loop of per-class CUDA nms3d calls
+                # (reference fcaf3d_head.py:768-838)
+                nms = jax.device_get(self._det_nms_fn()(
+                    jnp.asarray(outs[0]['bboxes_3d']),
+                    jnp.asarray(outs[0]['scores_3d']),
+                    jnp.asarray(outs[0]['mask'])))
             for b, ann in enumerate(host['eval_ann_info']):
-                if tta:
+                if self.task == 'detection':
+                    nb, ns, nl, nv = (np.asarray(a[b]) for a in nms)
+                    pred = {'bboxes_3d': nb[nv], 'scores_3d': ns[nv],
+                            'labels_3d': nl[nv].astype(np.int64)}
+                elif self.task == 'occupancy':
+                    from ..models.occ import occ_multiscale_supervision
+                    out = outs[0]
+                    pred_occ = np.asarray(out['occupancy'][b])
+                    gt_sparse = np.asarray(ann['gt_occupancy'],
+                                           np.float32).reshape(-1, 4)
+                    gt_dense = np.asarray(occ_multiscale_supervision(
+                        jnp.asarray(gt_sparse),
+                        jnp.ones((len(gt_sparse), ), bool), 1,
+                        tuple(pred_occ.shape)))
+                    metric.process(None, [{
+                        'pred_occupancy': pred_occ,
+                        'gt_occupancy_dense': gt_dense,
+                    }])
+                    continue
+                elif tta:
                     from ..models.tta import merge_aug_bboxes_3d
                     merged = merge_aug_bboxes_3d(
                         [{'bboxes_3d': o['bboxes_3d'][b],
@@ -424,6 +545,20 @@ class Runner:
         with open(os.path.join(self.work_dir, 'val_results.json'), 'w') as f:
             json.dump(results, f)
         return results
+
+    def _det_nms_fn(self):
+        """Batched device NMS for detection eval (cached jit)."""
+        if getattr(self, '_det_nms_cache', None) is None:
+            from ..ops.nms3d import multiclass_nms
+            test_cfg = self.cfg.get('model', {}).get('test_cfg', {})
+            fn = functools.partial(
+                multiclass_nms,
+                score_thr=test_cfg.get('score_thr', 0.01),
+                iou_thr=test_cfg.get('iou_thr', 0.5),
+                nms_pre=test_cfg.get('nms_pre', 1000),
+                max_out=test_cfg.get('max_out', 256))
+            self._det_nms_cache = jax.jit(jax.vmap(fn))
+        return self._det_nms_cache
 
     def test(self, resume: Optional[str] = None, tta: bool = False):
         return self.val(resume=resume, tta=tta)

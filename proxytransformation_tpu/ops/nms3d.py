@@ -65,3 +65,76 @@ def nms3d(boxes: jnp.ndarray,
     # un-sort
     inv = jnp.zeros((N, ), jnp.int32).at[order].set(jnp.arange(N, dtype=jnp.int32))
     return keep[inv]
+
+
+@partial(jax.jit, static_argnames=('nms_pre', 'max_out', 'use_rotation'))
+def multiclass_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                   mask: jnp.ndarray, score_thr: float = 0.01,
+                   iou_thr: float = 0.5, nms_pre: int = 1000,
+                   max_out: int = 256, use_rotation: bool = True):
+    """Per-class greedy NMS for ONE scene, fully on device.
+
+    The reference loops classes on the host, one CUDA `nms3d` call each
+    (reference fcaf3d_head.py:768-838). Here all classes run in ONE
+    program: the exact IoU matrix of the top-`nms_pre` candidates is
+    computed once (classes share boxes, so per-class matrices would be
+    redundant), then a while_loop commits, per iteration, the best
+    still-alive candidate of EVERY class simultaneously and suppresses
+    its class-local overlaps — greedy NMS is sequential per class but
+    embarrassingly parallel across classes. Exact per class up to
+    `max_out` kept boxes (a class needing more is truncated; outputs
+    are globally top-`max_out` by score anyway).
+
+    Args:
+        boxes: (N, 9) oriented boxes.
+        scores: (N, C) per-class scores (post-sigmoid).
+        mask: (N,) validity.
+    Returns:
+        (boxes (max_out, 9), scores (max_out,), labels (max_out,) int32,
+        valid (max_out,) bool) — score-sorted, -1 labels at padding.
+    """
+    N, C = scores.shape
+    P = min(nms_pre, N)
+    best = jnp.where(mask, jnp.max(scores, axis=-1), -jnp.inf)
+    _, keep = jax.lax.top_k(best, P)
+    cb = boxes[keep].astype(jnp.float32)          # (P, 9)
+    cs = scores[keep].astype(jnp.float32)         # (P, C)
+    cm = mask[keep]
+    iou = box3d_iou(cb, cb) if use_rotation else _aabb_iou(cb, cb)
+    suppress = iou > iou_thr                      # includes self (IoU 1)
+
+    alive = (cs.T > score_thr) & cm[None, :]      # (C, P)
+    T = max_out
+    out_idx0 = jnp.full((C, T), -1, jnp.int32)
+    out_scr0 = jnp.full((C, T), -jnp.inf, jnp.float32)
+
+    def cond(carry):
+        t, alive, _, _ = carry
+        return (t < T) & jnp.any(alive)
+
+    def body(carry):
+        t, alive, out_idx, out_scr = carry
+        s = jnp.where(alive, cs.T, -jnp.inf)      # (C, P)
+        pick = jnp.argmax(s, axis=1)              # (C,)
+        pscore = jnp.take_along_axis(s, pick[:, None], axis=1)[:, 0]
+        ok = pscore > -jnp.inf
+        rows = suppress[pick]                     # (C, P) row gather
+        alive = alive & ~(ok[:, None] & rows)
+        out_idx = out_idx.at[:, t].set(jnp.where(ok, pick, -1))
+        out_scr = out_scr.at[:, t].set(jnp.where(ok, pscore, -jnp.inf))
+        return t + 1, alive, out_idx, out_scr
+
+    _, _, out_idx, out_scr = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), alive, out_idx0, out_scr0))
+
+    flat_scr = out_scr.reshape(-1)                # (C*T,)
+    flat_idx = out_idx.reshape(-1)
+    flat_lab = jnp.repeat(jnp.arange(C, dtype=jnp.int32), T)
+    top_scr, sel = jax.lax.top_k(flat_scr, max_out)
+    sel_idx = flat_idx[sel]
+    valid = top_scr > -jnp.inf
+    out_boxes = jnp.where(valid[:, None],
+                          cb[jnp.where(valid, sel_idx, 0)], 0.0)
+    out_labels = jnp.where(valid, flat_lab[sel], -1)
+    out_scores = jnp.where(valid, top_scr, 0.0)
+    return out_boxes, out_scores, out_labels, valid

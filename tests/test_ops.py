@@ -146,3 +146,35 @@ def test_nms3d_suppresses_duplicates():
     scores = jnp.asarray(np.array([0.9, 0.8, 0.7], np.float32))
     keep = np.asarray(nms3d(boxes, scores, iou_threshold=0.5))
     np.testing.assert_array_equal(keep, [True, False, True])
+
+
+def test_multiclass_nms_device_matches_host():
+    """The one-program all-classes device NMS == the per-class host loop
+    (reference fcaf3d_head.py:768-838 semantics)."""
+    from proxytransformation_tpu.ops.nms3d import multiclass_nms
+    from proxytransformation_tpu.models.fcaf3d_head import (
+        multiclass_nms_host)
+    rng = np.random.RandomState(3)
+    N, C = 64, 7
+    centers = rng.uniform(0, 4, (N, 3))
+    dims = rng.uniform(0.5, 1.5, (N, 3))
+    angles = rng.uniform(-np.pi, np.pi, (N, 3))
+    boxes = np.concatenate([centers, dims, angles], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, (N, C)).astype(np.float32)
+    mask = rng.rand(N) > 0.2
+
+    db, ds, dl, dv = (np.asarray(a) for a in multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(mask),
+        score_thr=0.3, iou_thr=0.4, nms_pre=48, max_out=512))
+    hb, hs, hl = multiclass_nms_host(boxes, scores, mask, score_thr=0.3,
+                                     iou_thr=0.4, nms_pre=48)
+    # same kept set (order: device output is score-sorted)
+    order = np.argsort(-hs, kind='stable')
+    hb, hs, hl = hb[order], hs[order], hl[order]
+    n = int(dv.sum())
+    assert n == len(hs)
+    np.testing.assert_allclose(ds[:n], hs, rtol=1e-6)
+    # labels may tie-break differently only on exactly equal scores
+    same = ds[:n] == hs
+    np.testing.assert_array_equal(dl[:n][same], hl[same])
+    np.testing.assert_allclose(db[:n][same], hb[same], rtol=1e-6)
