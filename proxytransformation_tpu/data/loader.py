@@ -1,9 +1,18 @@
-"""Simple prefetching data loader (thread-based).
+"""Prefetching data loader: thread- or process-based workers.
 
 Replaces the reference's torch DataLoader + SharedArray machinery
 (reference: configs/...clip.py:145-164, utils/shared_mem_utils.py) with
 a host-side loader: shuffling sampler, preprocessor collate, and a
-background-thread prefetch queue (the TPU transfer overlaps compute).
+prefetch pipeline (the TPU transfer overlaps compute).
+
+num_workers=0 runs one background prefetch THREAD (decode releases the
+GIL inside cv2, so one thread already overlaps the train step);
+num_workers>0 fans batches out to a spawn-context process pool — the
+analog of the reference's num_workers=6 torch loader — with `prefetch`
+batches in flight, results consumed in order. Spawn (not fork) because
+the parent holds live JAX/XLA threads; forked children inheriting them
+have corrupted later compiles in this image.
+
 Per-host sharding under jax.distributed: each host iterates its own
 slice of the index space.
 """
@@ -16,20 +25,38 @@ from typing import Callable, Iterator, Optional
 import numpy as np
 
 
+_WORKER_STATE: dict = {}
+
+
+def _init_worker(dataset, collate_fn):
+    """Pool initializer: ship dataset + collate ONCE per worker (they
+    are pickled once here instead of per submitted batch)."""
+    _WORKER_STATE['dataset'] = dataset
+    _WORKER_STATE['collate_fn'] = collate_fn
+
+
+def _prep_batch(indices):
+    """Worker-side batch prep (module-level for spawn pickling)."""
+    ds = _WORKER_STATE['dataset']
+    return _WORKER_STATE['collate_fn']([ds[int(i)] for i in indices])
+
+
 class DataLoader:
 
     def __init__(self, dataset, batch_size: int, collate_fn: Callable,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2, num_shards: int = 1, shard_id: int = 0):
+                 prefetch: int = 2, num_shards: int = 1, shard_id: int = 0,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
-        self.prefetch = prefetch
+        self.prefetch = max(prefetch, num_workers)
         self.num_shards = num_shards
         self.shard_id = shard_id
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -61,6 +88,10 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+
+        if self.num_workers > 0:
+            yield from self._iter_procs(batches)
+            return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
@@ -111,3 +142,28 @@ class DataLoader:
             except queue.Empty:
                 pass
             t.join(timeout=5.0)
+
+    def _iter_procs(self, batches) -> Iterator:
+        """Process-pool path: `num_workers` spawn-context workers, up to
+        `prefetch` batches in flight, yielded in order (the torch
+        num_workers analog, reference configs/...clip.py:149)."""
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        ctx = mp.get_context('spawn')
+        with ProcessPoolExecutor(max_workers=self.num_workers,
+                                 mp_context=ctx,
+                                 initializer=_init_worker,
+                                 initargs=(self.dataset,
+                                           self.collate_fn)) as pool:
+            pending = []
+            it = iter(batches)
+            for b in it:
+                pending.append(pool.submit(_prep_batch, b))
+                if len(pending) >= self.prefetch:
+                    break
+            while pending:
+                out = pending.pop(0).result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(_prep_batch, nxt))
+                yield out

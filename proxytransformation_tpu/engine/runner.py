@@ -230,7 +230,8 @@ class Runner:
                               'sampler', {}).get('shuffle', True),
                           drop_last=train,
                           num_shards=n_hosts,
-                          shard_id=jax.process_index())
+                          shard_id=jax.process_index(),
+                          num_workers=loader_cfg.get('num_workers', 0))
 
     def _split_batch(self, batch, mesh=None):
         device = {k: v for k, v in batch.items() if k in _DEVICE_KEYS}

@@ -50,7 +50,11 @@ INT_MIN = np.int32(-2**31 + 1)
 CHUNK = 256           # default keys per window chunk (2 int32 sublane
 #                       rows); small chunks keep tight windows cheap —
 #                       the real map-build queries are sorted, so a
-#                       tile's window is only a few hundred keys
+#                       tile's window is only a few hundred keys.
+#                       tile=128 (QR=1) default from a 2026-08 v5e scan
+#                       on surface scenes: per-tile windows shrink with
+#                       the tile, so compares drop ~1.5x vs tile=512
+#                       (stem 23->14.7 ms, pool 8.3->5.4, s1 10.5->7.3)
 NSLOTS = 4            # VMEM ring slots
 AHEAD = 2             # producer runs this many chunks ahead
 
@@ -178,7 +182,7 @@ def _make_kernel(tile: int, chunk: int):
 @functools.partial(jax.jit,
                    static_argnames=('tile', 'chunk', 'interpret'))
 def lookup_pmz_stream(keys: jnp.ndarray, queries: jnp.ndarray,
-                      tile: int = 512, chunk: int = CHUNK,
+                      tile: int = 128, chunk: int = CHUNK,
                       interpret: bool = False):
     """For each query q find the key indices of q-1, q, q+1 (-1 = miss).
 
@@ -264,7 +268,7 @@ def lookup_pmz_stream(keys: jnp.ndarray, queries: jnp.ndarray,
 
 
 def lookup_stream(keys: jnp.ndarray, queries: jnp.ndarray,
-                  tile: int = 512, interpret: bool = False) -> jnp.ndarray:
+                  tile: int = 128, interpret: bool = False) -> jnp.ndarray:
     """Exact-match lookup (drop-in for ops.sparse._batched_lookup)."""
     return lookup_pmz_stream(keys, queries, tile=tile,
                              interpret=interpret)[1]

@@ -82,3 +82,4 @@ TRANSFORMS = Registry('transforms')
 METRICS = Registry('metrics')
 LOOPS = Registry('loops')
 VISUALIZERS = Registry('visualizers')
+VISBACKENDS = Registry('vis_backends')

@@ -17,9 +17,12 @@ import os
 import time
 from typing import Dict, Optional, Sequence
 
+from .registry import VISBACKENDS
+
 logger = logging.getLogger('proxytransformation_tpu')
 
 
+@VISBACKENDS.register_module()
 class LocalVisBackend:
     """Append-only JSONL scalar log."""
 
@@ -43,6 +46,7 @@ class LocalVisBackend:
         pass
 
 
+@VISBACKENDS.register_module()
 class WandbVisBackend:
     """wandb logger; degrades to a no-op with a warning when wandb is
     unavailable (zero-egress images can't reach the service anyway)."""
@@ -73,16 +77,19 @@ class WandbVisBackend:
 
 
 def build_vis_backends(cfg, work_dir: str) -> Sequence:
-    """From the reference-style `visualizer.vis_backends` config list."""
+    """From the reference-style `visualizer.vis_backends` config list,
+    built through the VISBACKENDS registry (reference registry.py:11-36
+    has a dedicated VISBACKENDS registry; same surface here)."""
     specs = (cfg.get('visualizer', {}) or {}).get(
         'vis_backends', [{'type': 'LocalVisBackend'}])
     out = []
     for spec in specs:
+        spec = dict(spec)
         t = spec.get('type', 'LocalVisBackend')
-        kw = {k: v for k, v in spec.items() if k != 'type'}
         if t == 'WandbVisBackend':
-            out.append(WandbVisBackend(work_dir, **kw))
+            out.append(VISBACKENDS.build(spec, save_dir=work_dir))
         else:
+            kw = {k: v for k, v in spec.items() if k != 'type'}
             out.append(LocalVisBackend(kw.pop('save_dir', work_dir)))
             if kw:
                 logger.warning('LocalVisBackend: ignoring unsupported '

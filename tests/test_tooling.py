@@ -175,3 +175,44 @@ def test_surface_scene_generator():
     b = surface_scene_batch(2, 10_000, seed=1)
     assert b.shape == (2, 10_000, 3)
     assert not np.array_equal(b[0], b[1])  # distinct scenes per sample
+
+
+# ---- data loader worker paths ------------------------------------------
+
+class _SeqDataset:
+    """Tiny picklable dataset for the spawn-worker loader path."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {'i': np.int64(i), 'x': np.full((4, ), i, np.float32)}
+
+
+def _seq_collate(samples):
+    return {'i': np.array([s['i'] for s in samples]),
+            'x': np.stack([s['x'] for s in samples])}
+
+
+def test_loader_process_workers_match_thread_path():
+    """num_workers>0 (spawn pool) must yield the same batches, in the
+    same order, as the default background-thread path."""
+    from proxytransformation_tpu.data.loader import DataLoader
+    ds = _SeqDataset(13)
+    kw = dict(batch_size=3, collate_fn=_seq_collate, shuffle=True, seed=7)
+    a = list(iter(DataLoader(ds, **kw)))
+    b = list(iter(DataLoader(ds, num_workers=2, **kw)))
+    assert len(a) == len(b) == 4
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x['i'], y['i'])
+        np.testing.assert_array_equal(x['x'], y['x'])
+
+
+def test_vis_backend_registry():
+    from proxytransformation_tpu.utils.registry import VISBACKENDS
+    from proxytransformation_tpu.utils import vis_backend  # noqa: F401
+    assert 'LocalVisBackend' in VISBACKENDS
+    assert 'WandbVisBackend' in VISBACKENDS
