@@ -50,43 +50,50 @@ INT_MIN = np.int32(-2**31 + 1)
 CHUNK = 256           # default keys per window chunk (2 int32 sublane
 #                       rows); small chunks keep tight windows cheap —
 #                       the real map-build queries are sorted, so a
-#                       tile's window is only a few hundred keys.
-#                       tile=128 (QR=1) default from a 2026-08 v5e scan
-#                       on surface scenes: per-tile windows shrink with
-#                       the tile, so compares drop ~1.5x vs tile=512
-#                       (stem 23->14.7 ms, pool 8.3->5.4, s1 10.5->7.3)
+#                       128-query row's window is only a few hundred keys
 NSLOTS = 4            # VMEM ring slots
 AHEAD = 2             # producer runs this many chunks ahead
 
-# SMEM pipeline state: producer (b, t, c), produced count, consumed
-_PB, _PT, _PC, _PCNT, _CONS = range(5)
+# SMEM pipeline state: producer (b, t, row, c), produced count, consumed
+_PB, _PT, _PG, _PC, _PCNT, _CONS = range(6)
 
 
-def _make_kernel(tile: int, chunk: int):
+def _make_kernel(rows: int, chunk: int):
+    """Kernel processing `rows` 128-query rows per grid step, each with
+    its OWN key window.
+
+    Two competing costs set the block size: per-grid-step overhead
+    (dispatch, output-block setup, query transpose — ~1 µs/step, which
+    DOMINATED the tile=128 round-4 kernel at 14k steps for the stem
+    map) and window width (a SHARED window over a big tile spans the
+    union of its rows' key ranges — the round-3 tile=512 kernel's
+    compares grew ~1.5× per 4× tile). Per-row windows decouple them:
+    the block is large (rows·128 queries amortize the fixed cost) while
+    every row streams only its OWN few-hundred-key window, exactly as
+    tile=128 did.
+    """
     CROWS = chunk // 128
 
-    QR = tile // 128              # query block rows (lane-dense)
-
-    def _join_kernel(start_ref,   # scalar prefetch (B, NT) int32
-                     nch_ref,     # scalar prefetch (B, NT) int32
-                     q_ref,       # (1, 1, QR, 128) int32 query block
+    def _join_kernel(start_ref,   # scalar prefetch (B, NT*ROWS) int32
+                     nch_ref,     # scalar prefetch (B, NT*ROWS) int32
+                     q_ref,       # (1, 1, ROWS, 128) int32 query block
                      keys_ref,    # (B, R, 128) int32 in ANY/HBM
-                     om_ref,      # (1, 1, QR, 128) out: index of q-1
-                     oc_ref,      # (1, 1, QR, 128) out: index of q
-                     op_ref,      # (1, 1, QR, 128) out: index of q+1
+                     om_ref,      # (1, 1, ROWS, 128) out: index of q-1
+                     oc_ref,      # (1, 1, ROWS, 128) out: index of q
+                     op_ref,      # (1, 1, ROWS, 128) out: index of q+1
                      buf,         # VMEM (NSLOTS, CROWS, 128) int32
-                     st,          # SMEM (5,) pipeline state
+                     st,          # SMEM (6,) pipeline state
                      sem):        # DMA sems (NSLOTS,)
         b = pl.program_id(0)
         t = pl.program_id(1)
         n_b, n_t = pl.num_programs(0), pl.num_programs(1)
 
         def produce_one(_=None):
-            pb, pt, pc = st[_PB], st[_PT], st[_PC]
+            pb, pt, pg, pc = st[_PB], st[_PT], st[_PG], st[_PC]
 
             @pl.when(pb < n_b)
             def _():
-                ck = start_ref[pb, pt] + pc
+                ck = start_ref[pb, pt * rows + pg] + pc
                 slot = jax.lax.rem(st[_PCNT], NSLOTS)
                 pltpu.make_async_copy(
                     keys_ref.at[pb,
@@ -95,16 +102,19 @@ def _make_kernel(tile: int, chunk: int):
                     buf.at[slot], sem.at[slot]).start()
                 st[_PCNT] = st[_PCNT] + 1
                 nxt_pc = pc + 1
-                done_t = nxt_pc >= nch_ref[pb, pt]
-                st[_PC] = jnp.where(done_t, 0, nxt_pc)
-                nxt_pt = jnp.where(done_t, pt + 1, pt)
-                done_b = nxt_pt >= n_t
-                st[_PT] = jnp.where(done_b, 0, nxt_pt)
-                st[_PB] = jnp.where(done_b, pb + 1, pb)
+                done_w = nxt_pc >= nch_ref[pb, pt * rows + pg]
+                st[_PC] = jnp.where(done_w, 0, nxt_pc)
+                nxt_pg = jnp.where(done_w, pg + 1, pg)
+                done_g = nxt_pg >= rows
+                st[_PG] = jnp.where(done_g, 0, nxt_pg)
+                nxt_pt = jnp.where(done_g, pt + 1, pt)
+                done_t = nxt_pt >= n_t
+                st[_PT] = jnp.where(done_t, 0, nxt_pt)
+                st[_PB] = jnp.where(done_t, pb + 1, pb)
 
         @pl.when((b == 0) & (t == 0))
         def _():
-            for i in range(5):
+            for i in range(6):
                 st[i] = 0
             for _ in range(AHEAD + 1):
                 produce_one()
@@ -113,54 +123,54 @@ def _make_kernel(tile: int, chunk: int):
         # (1, 128) key row broadcasts across them. HBM arrays shaped
         # (..., TILE, 1) are lane-padded 128x (2.55 GB of pure padding
         # per operand at B=6 — the round-3 train OOM), so queries
-        # travel lane-dense as (QR, 128) blocks, get tpu.transpose'd to
-        # (128, QR) once per tile (Mosaic supports transpose but not a
-        # lanes->column shape cast), and each of the QR query columns
-        # runs the same all-pairs compare at identical vreg cost.
-        qm1T = jnp.swapaxes(q_ref[0, 0], 0, 1) - 1   # (128, QR)
-        start = start_ref[b, t]
+        # travel lane-dense as (ROWS, 128) blocks, get tpu.transpose'd
+        # to (128, ROWS) once per block (Mosaic supports transpose but
+        # not a lanes->column shape cast), and each query column runs
+        # the same all-pairs compare at identical vreg cost.
+        qm1T = jnp.swapaxes(q_ref[0, 0], 0, 1) - 1   # (128, ROWS)
         lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
 
-        def body(c, carry):
-            maxes, mines = carry           # QR-tuples of (128, 128)
-            slot = jax.lax.rem(st[_CONS], NSLOTS)
-            ck = start + c
-            pltpu.make_async_copy(
-                keys_ref.at[b, pl.ds(pl.multiple_of(ck * CROWS, CROWS),
-                                     CROWS), :],
-                buf.at[slot], sem.at[slot]).wait()
-            st[_CONS] = st[_CONS] + 1
-            produce_one()
+        out_cols_max = []
+        out_cols_min = []
+        for g in range(rows):              # static unroll: row g's
+            qcol = qm1T[:, g:g + 1]        # own window stream
+            start = start_ref[b, t * rows + g]
 
-            rows = buf[slot]               # (CROWS, 128)
-            base4 = (ck * chunk + lane) << 2
-            new_maxes, new_mines = [], []
-            for qr in range(QR):           # static unroll
-                qcol = qm1T[:, qr:qr + 1]  # (128, 1) queries on sublanes
-                me, mi = maxes[qr], mines[qr]
+            def body(c, carry, qcol=qcol, start=start):
+                me, mi = carry             # (128, 128) accumulators
+                slot = jax.lax.rem(st[_CONS], NSLOTS)
+                ck = start + c
+                pltpu.make_async_copy(
+                    keys_ref.at[b,
+                                pl.ds(pl.multiple_of(ck * CROWS, CROWS),
+                                      CROWS), :],
+                    buf.at[slot], sem.at[slot]).wait()
+                st[_CONS] = st[_CONS] + 1
+                produce_one()
+
+                krows = buf[slot]          # (CROWS, 128)
+                base4 = (ck * chunk + lane) << 2
                 for r in range(CROWS):     # static unroll
-                    krow = rows[r][None, :]                   # (1, 128)
+                    krow = krows[r][None, :]                  # (1, 128)
                     u = krow - qcol                           # (128, 128)
                     inb = ((u >= 0) & (u <= 2) & (krow != SENTINEL))
                     enc = (base4 + (r * 128 << 2)) + u
                     # elementwise accumulation — the cross-lane reduce
-                    # happens ONCE per tile after the loop
+                    # happens ONCE per row after the loop
                     me = jnp.maximum(me, jnp.where(inb, enc, -1))
                     mi = jnp.minimum(mi, jnp.where(inb, enc, SENTINEL))
-                new_maxes.append(me)
-                new_mines.append(mi)
-            return tuple(new_maxes), tuple(new_mines)
+                return me, mi
 
-        init = (tuple(jnp.full((128, 128), -1, jnp.int32)
-                      for _ in range(QR)),
-                tuple(jnp.full((128, 128), SENTINEL, jnp.int32)
-                      for _ in range(QR)))
-        maxes, mines = jax.lax.fori_loop(0, nch_ref[b, t], body, init)
-        maxe = jnp.concatenate(
-            [jnp.max(m, axis=1, keepdims=True) for m in maxes], axis=1)
-        mine = jnp.concatenate(
-            [jnp.min(m, axis=1, keepdims=True) for m in mines], axis=1)
-        maxe = jnp.swapaxes(maxe, 0, 1)    # (QR, 128), lane-dense again
+            me, mi = jax.lax.fori_loop(
+                0, nch_ref[b, t * rows + g], body,
+                (jnp.full((128, 128), -1, jnp.int32),
+                 jnp.full((128, 128), SENTINEL, jnp.int32)))
+            out_cols_max.append(jnp.max(me, axis=1, keepdims=True))
+            out_cols_min.append(jnp.min(mi, axis=1, keepdims=True))
+
+        maxe = jnp.concatenate(out_cols_max, axis=1)  # (128, ROWS)
+        mine = jnp.concatenate(out_cols_min, axis=1)
+        maxe = jnp.swapaxes(maxe, 0, 1)    # (ROWS, 128), lane-dense
         mine = jnp.swapaxes(mine, 0, 1)
 
         has = maxe >= 0
@@ -182,11 +192,17 @@ def _make_kernel(tile: int, chunk: int):
 @functools.partial(jax.jit,
                    static_argnames=('tile', 'chunk', 'interpret'))
 def lookup_pmz_stream(keys: jnp.ndarray, queries: jnp.ndarray,
-                      tile: int = 128, chunk: int = CHUNK,
+                      tile: int = 1024, chunk: int = CHUNK,
                       interpret: bool = False):
     """For each query q find the key indices of q-1, q, q+1 (-1 = miss).
 
     Drop-in replacement for ops.sparse._batched_lookup_pmz.
+
+    `tile` queries form one grid step's block; its tile//128 rows each
+    stream their OWN key window (see _make_kernel — big blocks amortize
+    the ~1 µs grid-step overhead, per-row windows keep compares at the
+    tile=128 level). tile=1024 default from a 2026-08 v5e scan on
+    surface-scene map builds.
 
     Args:
         keys: (B, V) int32 sorted ascending per sample, SENTINEL-padded,
@@ -204,13 +220,15 @@ def lookup_pmz_stream(keys: jnp.ndarray, queries: jnp.ndarray,
                      constant_values=SENTINEL)
     chunk_max = jnp.max(keys_p.reshape(B, nchunk, chunk), axis=-1)
 
+    ROWS = tile // 128
     nt = -(-Q // tile)
     q_p = jnp.pad(queries.astype(jnp.int32),
                   ((0, 0), (0, nt * tile - Q)), constant_values=SENTINEL)
-    qt = q_p.reshape(B, nt, tile)
-    valid = qt != SENTINEL
-    qmin = jnp.min(jnp.where(valid, qt, SENTINEL), axis=-1)
-    qmax = jnp.max(jnp.where(valid, qt, INT_MIN), axis=-1)
+    # per-ROW window bounds: (B, nt*ROWS) rows of 128 queries each
+    qr = q_p.reshape(B, nt * ROWS, 128)
+    valid = qr != SENTINEL
+    qmin = jnp.min(jnp.where(valid, qr, SENTINEL), axis=-1)
+    qmax = jnp.max(jnp.where(valid, qr, INT_MIN), axis=-1)
     # window: chunks that can hold values in [qmin-1, qmax+1]
     # (saturating ±1 so pathological queries near the int32 limits
     # cannot wrap the window arithmetic)
@@ -225,34 +243,33 @@ def lookup_pmz_stream(keys: jnp.ndarray, queries: jnp.ndarray,
     nch = jnp.maximum(last - start + 1, 1)
 
     grid = (B, nt)
-    QR = tile // 128
-    # queries and outputs travel lane-dense (B, nt, QR, 128) — only a
-    # 2x sublane pad (QR=4 -> 8) instead of the 128x lane pad of a
-    # (..., tile, 1) layout; the kernel relays to columns internally
+    # queries and outputs travel lane-dense (B, nt, ROWS, 128) — only a
+    # sublane pad instead of the 128x lane pad of a (..., tile, 1)
+    # layout; the kernel relays to columns internally
     outs = pl.pallas_call(
-        _make_kernel(tile, chunk),
+        _make_kernel(ROWS, chunk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, QR, 128),
+                pl.BlockSpec((1, 1, ROWS, 128),
                              lambda b, t, s_r, n_r: (b, t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, QR, 128),
+                pl.BlockSpec((1, 1, ROWS, 128),
                              lambda b, t, s_r, n_r: (b, t, 0, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(3)
             ],
             scratch_shapes=[
                 pltpu.VMEM((NSLOTS, CROWS, 128), jnp.int32),
-                pltpu.SMEM((5, ), jnp.int32),
+                pltpu.SMEM((6, ), jnp.int32),
                 pltpu.SemaphoreType.DMA((NSLOTS, )),
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((B, nt, QR, 128), jnp.int32)
+        out_shape=[jax.ShapeDtypeStruct((B, nt, ROWS, 128), jnp.int32)
                    for _ in range(3)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary'), ),
@@ -261,14 +278,14 @@ def lookup_pmz_stream(keys: jnp.ndarray, queries: jnp.ndarray,
             bytes_accessed=B * (V + 4 * Q) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(start, nch, qt.reshape(B, nt, QR, 128),
+    )(start, nch, q_p.reshape(B, nt, ROWS, 128),
       keys_p.reshape(B, nchunk * CROWS, 128))
 
     return tuple(o.reshape(B, nt * tile)[:, :Q] for o in outs)
 
 
 def lookup_stream(keys: jnp.ndarray, queries: jnp.ndarray,
-                  tile: int = 128, interpret: bool = False) -> jnp.ndarray:
+                  tile: int = 1024, interpret: bool = False) -> jnp.ndarray:
     """Exact-match lookup (drop-in for ops.sparse._batched_lookup)."""
     return lookup_pmz_stream(keys, queries, tile=tile,
                              interpret=interpret)[1]
