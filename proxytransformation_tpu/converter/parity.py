@@ -34,6 +34,20 @@ The npz contract — for each checked module M, arrays
                              (Mv,4) stride-2 ME coords / out_feats
                              (Mv,64) — output of conv1 BEFORE norm1
                              (reference mink_resnet.py:58-124)
+  backbone_3d                full backbone, level by level: in_coords
+                             (Nv,4) / in_feats (Nv,3) ME level-0 input,
+                             out{i}_coords (Mi,4) / out{i}_feats
+                             (Mi,Ci) per returned stage i (ME coords in
+                             finest-voxel units, multiples of the stage
+                             stride; reference mink_resnet.py:100-144)
+  detector.in_{key}          full predict-mode forward: one array per
+                             model batch key (points, points_mask,
+                             imgs, input_ids, text_mask, proj_mats,
+                             views_mask) + detector.out_bboxes (B,Q,9)
+                             and detector.out_scores — replayed only
+                             when `detector_builder` is passed to
+                             check_parity (the flax model config cannot
+                             be inferred from the npz alone)
   decoder                    named kwargs (the reference calls it
                              kwargs-only, detector :582-621):
                              decoder.query (B,Q,256), decoder.key,
@@ -88,6 +102,14 @@ def stem_hook(mod, inp, out):  # ME SparseTensors carry .C / .F
     acts['backbone_3d.stem.out_feats'] = out.F.detach().cpu().numpy()
 model.backbone_3d.conv1.register_forward_hook(stem_hook)
 
+def bb3d_hook(mod, inp, out):  # full backbone, per-stage outputs
+    acts['backbone_3d.in_coords'] = inp[0].C.cpu().numpy()
+    acts['backbone_3d.in_feats'] = inp[0].F.detach().cpu().numpy()
+    for i, o in enumerate(out):
+        acts[f'backbone_3d.out{i}_coords'] = o.C.cpu().numpy()
+        acts[f'backbone_3d.out{i}_feats'] = o.F.detach().cpu().numpy()
+model.backbone_3d.register_forward_hook(bb3d_hook)
+
 def dec_hook(mod, args, kwargs, out):  # decoder is called kwargs-only
     for k in ('query', 'key', 'key_padding_mask', 'query_coords',
               'key_coords', 'pred_bboxes', 'text_feats',
@@ -104,7 +126,7 @@ np.savez('reference_acts.npz', **acts)
 REPLAYABLE = (
     'text_feat_map', 'bbox_head.reg_branch', 'text_encoder',
     'preshape.simple_encoder', 'preshape.get_offsets', 'backbone',
-    'backbone_3d.stem', 'decoder',
+    'backbone_3d.stem', 'backbone_3d', 'decoder', 'detector',
 )
 
 
@@ -150,7 +172,8 @@ def _module_names(acts) -> List[str]:
             m = re.match(r'(.+?)\.(in\d+|out\d*|query|key|'
                          r'key_padding_mask|query_coords|key_coords|'
                          r'pred_bboxes|text_feats|text_attention_mask|'
-                         r'out_bboxes)$', base)
+                         r'out\d+_(?:coords|feats)|'
+                         r'in_[a-z0-9_]+|out_[a-z0-9_]+)$', base)
             if m:
                 base = m.group(1)
         names.add(base)
@@ -251,6 +274,123 @@ def _replay_stem(variables, acts):
     return (max(errs) if errs else float('inf')), missing
 
 
+def _infer_backbone3d_arch(params_3d, batch_stats_3d):
+    """Depth / block type / norm of the converted MinkResNet from the
+    parameter tree alone (mirrors _replay_backbone's inference)."""
+    n_per_stage = []
+    for s in range(1, 5):
+        n = sum(1 for k in params_3d if k.startswith(f'layer{s}_'))
+        if n:
+            n_per_stage.append(n)
+    bottleneck = 'conv3' in params_3d.get('layer1_0', {})
+    blocks = tuple(n_per_stage)
+    if bottleneck:
+        depth = 101 if blocks[2:3] == (23, ) else 50
+    else:
+        depth = 34 if blocks == (3, 4, 6, 3) else 18
+    norm = 'batch' if 'norm1' in (batch_stats_3d or {}) else 'instance'
+    return depth, len(n_per_stage), norm
+
+
+def _replay_backbone3d(variables, acts):
+    """Full sparse backbone on a recorded ME voxel set, level by level.
+
+    Rebuilds level 0 per batch from `backbone_3d.in_coords/in_feats`
+    (as _replay_stem does), runs the converted MinkResNet in eval mode,
+    and compares each returned stage's features at the recorded ME
+    coordinates (reference mink_resnet.py:100-144: conv1 s2 + pool s2,
+    then stride-2 stages — stage i output coords are multiples of
+    2^(2+i) finest-voxel units).
+
+    Returns {stage_name: (max_abs_err, n_missing)}; recorded output
+    voxels absent from our coordinate maps count as missing and fail
+    the stage (they would mean a coordinate-map mismatch).
+    """
+    import jax.numpy as jnp
+    from ..ops.sparse import SparseLevel, linearize
+    from ..models.sparse_resnet import MinkResNet
+
+    in_c = acts['backbone_3d.in_coords'].astype(np.int64)
+    in_f = acts['backbone_3d.in_feats'].astype(np.float32)
+    params_3d = variables['params']['backbone_3d']
+    bstats_3d = variables.get('batch_stats', {}).get('backbone_3d', {})
+    depth, num_stages, norm = _infer_backbone3d_arch(params_3d, bstats_3d)
+
+    stages = [i for i in range(num_stages)
+              if f'backbone_3d.out{i}_coords' in acts]
+    per_stage: Dict[str, List[float]] = {f'backbone_3d.out{i}': []
+                                         for i in stages}
+    missing = {f'backbone_3d.out{i}': 0 for i in stages}
+
+    for b in sorted(set(in_c[:, 0].tolist())):
+        ci = in_c[in_c[:, 0] == b, 1:]
+        fi = in_f[in_c[:, 0] == b]
+        # even origin: floor(c/2) parity must match ME on negatives,
+        # through SIX stride doublings -> align to 64
+        origin = (ci.min(axis=0) // 64) * 64
+        ci = ci - origin
+        ext = tuple(int(e) for e in np.maximum(ci.max(axis=0) + 2, 64))
+        V = ci.shape[0]
+        model = MinkResNet(depth=depth, in_channels=fi.shape[-1],
+                           num_stages=num_stages, norm=norm,
+                           capacities=(V, ) * 6)
+        keys = np.asarray(linearize(jnp.asarray(ci, jnp.int32), ext))
+        order = np.argsort(keys, kind='stable')
+        lvl = SparseLevel(
+            keys=jnp.asarray(keys[order][None].astype(np.int32)),
+            coords=jnp.asarray(ci[order][None].astype(np.int32)),
+            feats=jnp.asarray(fi[order][None]),
+            mask=jnp.ones((1, V), bool),
+            origin=jnp.zeros((1, 3), jnp.float32),
+            extent=ext, stride=1, voxel_size=0.01)
+        sub = _subvars(variables, 'backbone_3d')
+        outs = model.apply(sub, lvl, train=False)
+        for i in stages:
+            name = f'backbone_3d.out{i}'
+            out_lvl = outs[i]
+            oc = acts[f'{name}_coords'].astype(np.int64)
+            of = acts[f'{name}_feats'].astype(np.float32)
+            co = (oc[oc[:, 0] == b, 1:] - origin) // out_lvl.stride
+            fo = of[oc[:, 0] == b]
+            our_keys = np.asarray(out_lvl.keys[0])
+            our_feats = np.asarray(out_lvl.feats[0])
+            n_valid = int(np.asarray(out_lvl.mask[0]).sum())
+            want = np.asarray(linearize(jnp.asarray(co, jnp.int32),
+                                        out_lvl.extent))
+            pos = np.clip(np.searchsorted(our_keys[:n_valid], want),
+                          0, max(n_valid - 1, 0))
+            hit = our_keys[pos] == want if n_valid else \
+                np.zeros(len(want), bool)
+            missing[name] += int((~hit).sum())
+            if hit.any():
+                per_stage[name].append(
+                    _max_abs_err(our_feats[pos[hit]], fo[hit]))
+    return {name: (max(errs) if errs else float('inf'), missing[name])
+            for name, errs in per_stage.items()}
+
+
+def _replay_detector(variables, acts, detector_builder):
+    """Full predict-mode forward from recorded batch inputs."""
+    import jax.numpy as jnp
+    model = detector_builder()
+    batch = {}
+    keys = acts.files if hasattr(acts, 'files') else acts.keys()
+    for k in keys:
+        if not k.startswith('detector.in_'):
+            continue
+        name = k[len('detector.in_'):]
+        v = np.asarray(acts[k])
+        if v.dtype == np.bool_:
+            batch[name] = jnp.asarray(v)
+        elif np.issubdtype(v.dtype, np.integer):
+            batch[name] = jnp.asarray(v.astype(np.int32))
+        else:
+            batch[name] = jnp.asarray(v.astype(np.float32))
+    out = model.apply(variables, batch, mode='predict')
+    return {k2: np.asarray(out[k2]) for k2 in ('bboxes_3d', 'scores_3d')
+            if k2 in out}
+
+
 def _replay_decoder(variables, acts):
     """Full decoder stack + shared reg-branch refinement (reference
     decoder.py:184-317, kwargs recorded per the snippet)."""
@@ -306,7 +446,8 @@ def _replay_decoder(variables, acts):
 def check_parity(pth_path: str, npz_path: str,
                  atol: float = 2e-3,
                  convert_kw: Optional[Dict] = None,
-                 report: Optional[Callable[[str], None]] = print
+                 report: Optional[Callable[[str], None]] = print,
+                 detector_builder: Optional[Callable] = None
                  ) -> List[Tuple[str, float, bool]]:
     """Convert `pth_path` and check each recorded activation pair.
 
@@ -314,7 +455,10 @@ def check_parity(pth_path: str, npz_path: str,
     the npz: modules this harness cannot replay are returned with
     err=inf and ok=False (loudly, never silently dropped); raises
     FileNotFoundError if either artifact is missing (callers/tests
-    skip in that case).
+    skip in that case). `detector_builder` (a zero-arg callable
+    returning the flax detector) enables the full-forward
+    `detector.*` replay — without it, recorded detector activations
+    count as FAIL, not as silently skipped.
     """
     from .torch_weights import load_torch_checkpoint
     variables = load_torch_checkpoint(pth_path, **(convert_kw or {}))
@@ -408,13 +552,32 @@ def check_parity(pth_path: str, npz_path: str,
             err = max(err, _max_abs_err(boxes, acts['decoder.out_bboxes']))
         check('decoder', err)
 
+    if 'backbone_3d.in_coords' in acts:
+        stage_errs = _replay_backbone3d(variables, acts)
+        for name in sorted(stage_errs):
+            err, n_missing = stage_errs[name]
+            if n_missing and report:
+                report(f'{name}: {n_missing} recorded output voxels '
+                       'missing from our coordinate map')
+            check(name, err if n_missing == 0 else float('inf'))
+
+    if 'detector.out_bboxes' in acts and detector_builder is not None:
+        outs_d = _replay_detector(variables, acts, detector_builder)
+        err = _max_abs_err(outs_d['bboxes_3d'],
+                           acts['detector.out_bboxes'])
+        if 'detector.out_scores' in acts and 'scores_3d' in outs_d:
+            err = max(err, _max_abs_err(outs_d['scores_3d'],
+                                        acts['detector.out_scores']))
+        check('detector', err)
+
     # ---- loud-skip guard: every recorded module must be accounted for
     recorded = set(_module_names(acts))
     # backbone levels are checked under their own out{i} names
     recorded = {('backbone' if r.startswith('backbone.') and
                  not r.startswith('backbone_3d') else r) for r in recorded}
-    checked_bases = {('backbone' if c.startswith('backbone.out') else c)
-                     for c in checked}
+    checked_bases = {('backbone' if c.startswith('backbone.out') else
+                      'backbone_3d' if c.startswith('backbone_3d.out')
+                      else c) for c in checked}
     for name in sorted(recorded - checked_bases):
         results.append((name, float('inf'), False))
         if report:

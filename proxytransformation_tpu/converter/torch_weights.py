@@ -387,7 +387,12 @@ def fake_reference_state_dict(rng: np.random.RandomState,
                               num_reg: int = 9,
                               with_backbone2d: bool = False,
                               img_depth: int = 18,
-                              img_base: int = 8) -> Dict[str, np.ndarray]:
+                              img_base: int = 8,
+                              with_text_encoder: bool = False,
+                              text_width: int = 16,
+                              text_layers: int = 2,
+                              text_vocab: int = 49408,
+                              text_ctx: int = 77) -> Dict[str, np.ndarray]:
     """Random tensors under the reference's exact key names/shapes."""
     sd: Dict[str, np.ndarray] = {}
 
@@ -521,6 +526,25 @@ def fake_reference_state_dict(rng: np.random.RandomState,
     lin('text_feat_map', E, De)
 
     # ---- optional 2D ResNet (mmdet/torchvision layout)
+    if with_text_encoder:
+        # HF CLIPTextModel layout (convert_hf_clip_text's contract)
+        tp = 'text_encoder.text_model.'
+        sd[tp + 'embeddings.token_embedding.weight'] = r(
+            text_vocab, text_width)
+        sd[tp + 'embeddings.position_embedding.weight'] = r(
+            text_ctx, text_width)
+        for i in range(text_layers):
+            src = f'{tp}encoder.layers.{i}.'
+            for ln_name in ('layer_norm1', 'layer_norm2'):
+                sd[src + ln_name + '.weight'] = r(text_width)
+                sd[src + ln_name + '.bias'] = r(text_width)
+            for proj in ('q_proj', 'k_proj', 'v_proj', 'out_proj'):
+                lin(src + 'self_attn.' + proj, text_width, text_width)
+            lin(src + 'mlp.fc1', text_width, 4 * text_width)
+            lin(src + 'mlp.fc2', 4 * text_width, text_width)
+        sd[tp + 'final_layer_norm.weight'] = r(text_width)
+        sd[tp + 'final_layer_norm.bias'] = r(text_width)
+
     if with_backbone2d:
         from ..models.resnet import ResNet
         block_cls, arch = ResNet.arch_settings[img_depth]

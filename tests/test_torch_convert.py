@@ -257,3 +257,188 @@ def test_parity_harness_full_contract(tmp_path):
     results = check_parity(str(pth), str(npz), atol=2e-3, report=None)
     skipped = [r for r in results if r[0] == 'mystery_module']
     assert skipped and not skipped[0][2], results
+
+
+def _np_minkresnet18(params, stats, coords, feats):
+    """Independent numpy oracle for the depth-18 sparse backbone in
+    eval mode: dict-based sparse convs (coord -> feature), masked
+    instance/batch norms from converted affine/running stats, ME
+    stride/offset conventions (reference mink_resnet.py:100-144).
+    Returns [(stage_coords, stage_feats)] for the 4 stages, coords in
+    backbone level units (finest-voxel units / stage stride)."""
+    from proxytransformation_tpu.ops.sparse import kernel_offsets
+    offs3 = kernel_offsets(3)
+    offs2 = kernel_offsets(2)
+
+    def conv(table, out_coords, w, stride):
+        out = {}
+        k = offs3 if w.shape[0] == 27 else np.zeros((1, 3), int)
+        for p in map(tuple, out_coords):
+            acc = np.zeros(w.shape[-1], np.float32)
+            for ki, off in enumerate(k):
+                src = tuple(np.asarray(p) * stride + off)
+                if src in table:
+                    acc += table[src] @ w[ki]
+            out[p] = acc
+        return out
+
+    def inorm(table, name):
+        p = params[name]
+        fs = np.stack(list(table.values()))
+        mean, var = fs.mean(0), fs.var(0)
+        return {c: (f - mean) / np.sqrt(var + 1e-5) * p['scale'] + p['bias']
+                for c, f in table.items()}
+
+    def relu(table):
+        return {c: np.maximum(f, 0.0) for c, f in table.items()}
+
+    def downcoords(table):
+        return np.unique(np.floor(np.asarray(list(table)) / 2
+                                  ).astype(int), axis=0)
+
+    table = {tuple(c): f for c, f in zip(map(tuple, coords), feats)}
+    # stem conv1 k3 s2 + instance norm + relu
+    table = conv(table, downcoords(table),
+                 np.asarray(params['conv1']['kernel']), 2)
+    table = relu(inorm(table, 'norm1'))
+    # maxpool k2 s2
+    pooled = {}
+    for p in map(tuple, downcoords(table)):
+        cands = [table[tuple(np.asarray(p) * 2 + off)]
+                 for off in offs2 if tuple(np.asarray(p) * 2 + off) in table]
+        pooled[p] = np.max(np.stack(cands), axis=0)
+    table = pooled
+
+    outs = []
+    for s in range(1, 5):
+        new_coords = downcoords(table)
+        for j in range(2):  # depth-18: 2 BasicBlocks per stage
+            blk = f'layer{s}_{j}'
+            identity = dict(table)
+            stride = 2 if j == 0 else 1
+            oc = new_coords if j == 0 else np.asarray(list(table))
+            x = conv(table, oc, np.asarray(params[blk]['conv1']['kernel']),
+                     stride)
+            x = relu(bn_sub(params, stats, blk, 'norm1', x))
+            x = conv(x, oc, np.asarray(params[blk]['conv2']['kernel']), 1)
+            x = bn_sub(params, stats, blk, 'norm2', x)
+            if j == 0:
+                wd = np.asarray(params[blk]['downsample_conv']['kernel'])
+                idn = conv(identity, oc, wd, 2)
+                idn = bn_sub(params, stats, blk, 'downsample_norm', idn)
+            else:
+                idn = identity
+            table = {c: np.maximum(x[c] + idn.get(c, 0.0), 0.0) for c in x}
+        outs.append((np.asarray(list(table)),
+                     np.stack(list(table.values()))))
+    return outs
+
+
+def bn_sub(params, stats, blk, name, table):
+    p, s = params[blk][name], stats[blk][name]
+    return {c: ((f - np.asarray(s['mean']))
+                / np.sqrt(np.asarray(s['var']) + 1e-5)
+                * np.asarray(p['scale']) + np.asarray(p['bias']))
+            for c, f in table.items()}
+
+
+def test_parity_backbone3d_level_by_level(tmp_path):
+    """Full-backbone replay (backbone_3d.out{i} npz contract) against
+    an independent numpy dict-conv oracle of MinkResNet-18 in eval
+    mode — proves the harness's coordinate conventions, arch
+    inference, and eval-norm semantics before a real dump exists."""
+    import torch
+    from proxytransformation_tpu.converter.torch_weights import (
+        convert_detector, fake_reference_state_dict)
+    from proxytransformation_tpu.converter.parity import check_parity
+
+    rng = np.random.RandomState(7)
+    sd = fake_reference_state_dict(rng)
+    pth = tmp_path / 'fake.pth'
+    torch.save({'state_dict': {k: torch.from_numpy(v)
+                               for k, v in sd.items()}}, str(pth))
+    variables = convert_detector(sd)
+    p3 = jax.tree_util.tree_map(np.asarray,
+                                variables['params']['backbone_3d'])
+    s3 = jax.tree_util.tree_map(np.asarray,
+                                variables['batch_stats']['backbone_3d'])
+
+    coords = np.unique(rng.randint(-40, 40, (80, 3)), axis=0)
+    feats = rng.randn(len(coords), 3).astype(np.float32) * 0.5
+    outs = _np_minkresnet18(p3, s3, coords, feats)
+
+    acts = {
+        'backbone_3d.in_coords': np.concatenate(
+            [np.zeros((len(coords), 1), int), coords], 1),
+        'backbone_3d.in_feats': feats,
+    }
+    for i, (oc, of) in enumerate(outs):
+        stride = 8 * 2 ** i  # conv1 s2 + pool s2 + (i+1) stage strides
+        acts[f'backbone_3d.out{i}_coords'] = np.concatenate(
+            [np.zeros((len(oc), 1), int), oc * stride], 1)  # ME units
+        acts[f'backbone_3d.out{i}_feats'] = of
+    npz = tmp_path / 'acts.npz'
+    np.savez(str(npz), **acts)
+
+    results = check_parity(str(pth), str(npz), atol=2e-3, report=None)
+    by_name = {r[0]: r for r in results}
+    for i in range(4):
+        name = f'backbone_3d.out{i}'
+        assert name in by_name, sorted(by_name)
+        assert by_name[name][2], by_name[name]
+
+    # corruption in a deep stage is detected
+    bad = dict(np.load(str(npz)))
+    bad['backbone_3d.out3_feats'] = bad['backbone_3d.out3_feats'] + 1.0
+    np.savez(str(npz), **bad)
+    results = check_parity(str(pth), str(npz), atol=2e-3, report=None)
+    by_name = {r[0]: r for r in results}
+    assert not by_name['backbone_3d.out3'][2]
+    assert by_name['backbone_3d.out0'][2]
+
+
+@pytest.mark.slow
+def test_parity_detector_full_forward(tmp_path):
+    """detector.* npz contract: the harness reproduces a recorded
+    predict-mode forward from the converted checkpoint alone (the
+    round trip that runs the moment the released .pth shows up)."""
+    import torch
+    import __graft_entry__ as g
+    from proxytransformation_tpu.converter.torch_weights import (
+        fake_reference_state_dict, load_torch_checkpoint)
+    from proxytransformation_tpu.converter.parity import check_parity
+
+    rng = np.random.RandomState(0)
+    sd = fake_reference_state_dict(
+        rng, embed_dim=64, text_blocks=2, img_blocks=2, img_spacial_dim=2,
+        input_dim=4 * 32, real_cluster=32, backbone3d_depth=18,
+        neck_channels=(64 + 16, 128 + 32, 256 + 64, 512 + 128),
+        neck_out=64, decoder_layers=2, dec_embed=64, dec_ffn=256,
+        with_backbone2d=True, img_depth=50, img_base=4,
+        with_text_encoder=True, text_width=64, text_layers=2)
+    pth = tmp_path / 'fake.pth'
+    torch.save({'state_dict': {k: torch.from_numpy(v)
+                               for k, v in sd.items()}}, str(pth))
+
+    variables = load_torch_checkpoint(str(pth))
+    model = g._tiny_model()
+    batch = g._tiny_batch(B=1)
+    out = model.apply(variables, batch, mode='predict')
+
+    acts = {f'detector.in_{k}': np.asarray(v) for k, v in batch.items()}
+    acts['detector.out_bboxes'] = np.asarray(out['bboxes_3d'])
+    acts['detector.out_scores'] = np.asarray(out['scores_3d'])
+    npz = tmp_path / 'acts.npz'
+    np.savez(str(npz), **acts)
+
+    results = check_parity(str(pth), str(npz), atol=1e-4, report=None,
+                           detector_builder=g._tiny_model)
+    by_name = {r[0]: r for r in results}
+    assert 'detector' in by_name, sorted(by_name)
+    assert by_name['detector'][2], by_name['detector']
+
+    # without a builder the recorded forward must FAIL loudly,
+    # never silently skip
+    results = check_parity(str(pth), str(npz), atol=1e-4, report=None)
+    by_name = {r[0]: r for r in results}
+    assert 'detector' in by_name and not by_name['detector'][2]
