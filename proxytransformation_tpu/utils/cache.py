@@ -67,7 +67,8 @@ def _guard_callback_serialization():
     cc.put_executable_and_time = safe_put
 
 
-def enable_cpu_compilation_cache(prefix: str = 'pt_xla_cpu'):
+def enable_cpu_compilation_cache(prefix: str = 'pt_xla_cpu',
+                                 force: bool = False):
     """Machine-keyed persistent cache for CPU-backend runs.
 
     DISABLED by default (set PT_CPU_COMPILE_CACHE=1 to opt in): on this
@@ -77,9 +78,22 @@ def enable_cpu_compilation_cache(prefix: str = 'pt_xla_cpu'):
     compilation_cache get/put (with and without the callback guard, on
     a fresh cache, with no background threads). A slow green gate beats
     a fast crashing one; revisit if jaxlib's CPU executable
-    serialization stabilizes."""
+    serialization stabilizes.
+
+    force=True opts in programmatically — ONLY safe for short-lived
+    fresh processes (e.g. the multichip dryrun), where cache reads have
+    always been clean; it also REPLACES any previously configured cache
+    dir, which matters because the generic TPU cache
+    (`enable_compilation_cache`) may hold CPU AOT blobs compiled on a
+    DIFFERENT machine (observed: the driver host has AMX, this one
+    doesn't — xla cpu_aot_loader warns SIGILL on such loads). The
+    machine-keyed dir never replays foreign blobs."""
     import jax
-    if not os.environ.get('PT_CPU_COMPILE_CACHE'):
+    if not (force or os.environ.get('PT_CPU_COMPILE_CACHE')):
+        try:  # never leave a foreign-machine cache dir active for CPU
+            jax.config.update('jax_compilation_cache_dir', None)
+        except Exception:
+            pass
         return
     path = machine_keyed_cache_dir(prefix)
     try:
