@@ -296,6 +296,8 @@ def _make_dw_kernel(tile: int, kg: int, n_og: int, chunk: int):
                                 # 128 lanes, so a 3-D (B, nt, 9) array
                                 # would cost 14x its size (observed 1.2
                                 # MB > the 1 MB SMEM budget at B=6)
+                   act_ref,     # scalar prefetch: 1 if (tile, group)
+                                # has any hit (occupancy skip)
                    nbr_ref,     # (1, TILE, K3) int32 block
                    g_ref,       # (1, TILE, C_out) bf16 block
                    feats_ref,   # (B, V_in_pad, C_in) bf16 in ANY/HBM
@@ -349,6 +351,7 @@ def _make_dw_kernel(tile: int, kg: int, n_og: int, chunk: int):
 
         ulo = ulo_ref[(b * n_t + t) * n_og + og]
         nch = nch_ref[(b * n_t + t) * n_og + og]
+        act = act_ref[(b * n_t + t) * n_og + og]
         g_tile = g_ref[0]                         # (TILE, C_out) bf16
 
         def body(c, _):
@@ -361,22 +364,29 @@ def _make_dw_kernel(tile: int, kg: int, n_og: int, chunk: int):
             st[_CONS] = st[_CONS] + 1
             produce_one()
 
-            chunk_bf = buf[slot]                  # (CHUNK, C_in) bf16
-            iota_ch = jax.lax.broadcasted_iota(jnp.int32, (tile, CHUNK), 1)
-            for j in range(kg):                   # static unroll
-                idx = jnp.max(
-                    jnp.where(lane == og * kg + j, idx_all,
-                              jnp.int32(-2**31 + 1)), axis=1)  # (TILE,)
-                onehot = ((idx - base)[:, None] == iota_ch).astype(
-                    jnp.bfloat16)                 # (TILE, CHUNK)
-                # scatter g rows into chunk-row space (disjoint -> exact)
-                sc = jax.lax.dot_general(
-                    onehot, g_tile, (((0, ), (0, )), ((), ())),
-                    preferred_element_type=jnp.float32)  # (CHUNK, C_out)
-                dw_ref[j] += jax.lax.dot_general(
-                    chunk_bf, sc.astype(jnp.bfloat16),
-                    (((0, ), (0, )), ((), ())),
-                    preferred_element_type=jnp.float32)  # (C_in, C_out)
+            # occupancy skip (see _make_colwin_kernel): all-miss
+            # (tile, group) pairs contribute exactly zero to dW; the
+            # DMA wait stays unconditional for semaphore lockstep
+            @pl.when(act != 0)
+            def _():
+                chunk_bf = buf[slot]              # (CHUNK, C_in) bf16
+                iota_ch = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile, CHUNK), 1)
+                for j in range(kg):               # static unroll
+                    idx = jnp.max(
+                        jnp.where(lane == og * kg + j, idx_all,
+                                  jnp.int32(-2**31 + 1)), axis=1)
+                    onehot = ((idx - base)[:, None] == iota_ch).astype(
+                        jnp.bfloat16)             # (TILE, CHUNK)
+                    # scatter g rows into chunk-row space
+                    # (disjoint -> exact)
+                    sc = jax.lax.dot_general(
+                        onehot, g_tile, (((0, ), (0, )), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dw_ref[j] += jax.lax.dot_general(
+                        chunk_bf, sc.astype(jnp.bfloat16),
+                        (((0, ), (0, )), ((), ())),
+                        preferred_element_type=jnp.float32)
             return 0
 
         jax.lax.fori_loop(0, nch, body, 0)
@@ -434,29 +444,34 @@ def sparse_conv_dw_gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray,
     uhi = jnp.max(tiled, axis=(2, 4))
     nch = jnp.maximum(-(-(jnp.maximum(uhi - ulo + 1, 0)) // CHUNK),
                       1).astype(jnp.int32)
+    act = (uhi >= 0).astype(jnp.int32)
 
     feats_p = _pad_to(feats, CHUNK, axis=1)
     feats_p = jnp.pad(feats_p, ((0, 0), (0, 2 * CHUNK), (0, 0)))
 
     ulo = ulo.reshape(-1)
     nch = nch.reshape(-1)
+    act = act.reshape(-1)
     grid = (n_og, B, n_tiles)
     dw = pl.pallas_call(
         _make_dw_kernel(tile, kg, n_og, CHUNK),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, tile, K3),
-                             lambda og, b, t, lo_r, nch_r: (b, t, 0),
+                             lambda og, b, t, lo_r, nch_r, act_r:
+                             (b, t, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile, C_out),
-                             lambda og, b, t, lo_r, nch_r: (b, t, 0),
+                             lambda og, b, t, lo_r, nch_r, act_r:
+                             (b, t, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec((kg, C_in, C_out),
-                                   lambda og, b, t, lo_r, nch_r: (og, 0, 0),
+                                   lambda og, b, t, lo_r, nch_r, act_r:
+                                   (og, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((NSLOTS, CHUNK, C_in), jnp.bfloat16),
@@ -472,7 +487,7 @@ def sparse_conv_dw_gather_gemm(feats: jnp.ndarray, nbr: jnp.ndarray,
             bytes_accessed=n_og * B * Vp * C_in * 2,
             transcendentals=0),
         interpret=interpret,
-    )(ulo, nch, nbr_p, g_p, feats_p)
+    )(ulo, nch, act, nbr_p, g_p, feats_p)
 
     return dw[:, :C_in_orig]
 
@@ -499,6 +514,8 @@ def _make_colwin_kernel(tile: int, kz: int, chunk: int):
     def _kernel(ulo_ref,     # scalar prefetch: (B*n_tiles*n_cols,) —
                 nch_ref,     # flattened (see _dw_kernel: SMEM lane
                              # padding makes 3-D arrays 14x bigger)
+                act_ref,     # scalar prefetch: 1 if (tile, col) has any
+                             # hit — 0 tiles skip all compute (below)
                 nbr_ref,     # (1, TILE, K3) int32 block (per tile)
                 feats_ref,   # (B, V_in_pad, C_in) bf16 in ANY/HBM
                 w_ref,       # (kz, C_in, C_out) bf16 block (per col)
@@ -551,6 +568,7 @@ def _make_colwin_kernel(tile: int, kz: int, chunk: int):
 
         ulo = ulo_ref[(b * n_t + t) * n_c + col]
         nch = nch_ref[(b * n_t + t) * n_c + col]
+        act = act_ref[(b * n_t + t) * n_c + col]
 
         def body(c, _):
             slot = jax.lax.rem(st[_CONS], NSLOTS)
@@ -562,19 +580,33 @@ def _make_colwin_kernel(tile: int, kz: int, chunk: int):
             st[_CONS] = st[_CONS] + 1
             produce_one()
 
-            chunk_bf = buf[slot]                  # (CHUNK, C_in) bf16
-            iota_ch = jax.lax.broadcasted_iota(jnp.int32, (tile, CHUNK), 1)
-            for j in range(kz):                   # static unroll
-                idx = jnp.max(
-                    jnp.where(lane == col * kz + j, idx_all,
-                              jnp.int32(-2**31 + 1)), axis=1)  # (TILE,)
-                onehot = ((idx - base)[:, None] == iota_ch).astype(
-                    jnp.bfloat16)
-                g = jax.lax.dot(onehot, chunk_bf,
-                                preferred_element_type=jnp.float32)
-                out_ref[0] += jax.lax.dot(
-                    g.astype(jnp.bfloat16), w_ref[0, j],
-                    preferred_element_type=jnp.float32)
+            # occupancy skip: all-miss (tile, col) pairs — the invalid
+            # capacity tail (keys sort SENTINEL rows last, so an
+            # underfilled level ends in all-miss tiles: real surface
+            # scans fill only ~33-63% of the coarse-level capacities)
+            # plus out-of-extent boundary columns — contribute exactly
+            # zero, so skip their gather+GEMMs. The flag comes
+            # precomputed from SMEM (an in-kernel idx reduce per offset
+            # measured ~20% SLOWER than no skip: it serializes the dot
+            # pipeline). The DMA wait above stays unconditional to keep
+            # producer/consumer semaphores in lockstep; a skipped tile
+            # costs one streamed chunk and nothing else.
+            @pl.when(act != 0)
+            def _():
+                chunk_bf = buf[slot]              # (CHUNK, C_in) bf16
+                iota_ch = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile, CHUNK), 1)
+                for j in range(kz):               # static unroll
+                    idx = jnp.max(
+                        jnp.where(lane == col * kz + j, idx_all,
+                                  jnp.int32(-2**31 + 1)), axis=1)
+                    onehot = ((idx - base)[:, None] == iota_ch).astype(
+                        jnp.bfloat16)
+                    g = jax.lax.dot(onehot, chunk_bf,
+                                    preferred_element_type=jnp.float32)
+                    out_ref[0] += jax.lax.dot(
+                        g.astype(jnp.bfloat16), w_ref[0, j],
+                        preferred_element_type=jnp.float32)
             return 0
 
         jax.lax.fori_loop(0, nch, body, 0)
@@ -629,6 +661,7 @@ def sparse_conv_gather_gemm_colwin(feats: jnp.ndarray, nbr: jnp.ndarray,
     uhi = jnp.max(tiled, axis=(2, 4))
     nch = jnp.maximum(-(-(jnp.maximum(uhi - ulo + 1, 0)) // CHUNK),
                       1).astype(jnp.int32)
+    act = (uhi >= 0).astype(jnp.int32)    # any hit in this (tile, col)
 
     feats_p = _pad_to(feats, CHUNK, axis=1)
     feats_p = jnp.pad(feats_p, ((0, 0), (0, 2 * CHUNK), (0, 0)))
@@ -637,23 +670,26 @@ def sparse_conv_gather_gemm_colwin(feats: jnp.ndarray, nbr: jnp.ndarray,
 
     ulo = ulo.reshape(-1)
     nch = nch.reshape(-1)
+    act = act.reshape(-1)
     grid = (B, n_tiles, n_cols)
     out = pl.pallas_call(
         _make_colwin_kernel(tile, kz, CHUNK),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, tile, K3),
-                             lambda b, t, c, lo_r, nch_r: (b, t, 0),
+                             lambda b, t, c, lo_r, nch_r, act_r: (b, t, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((1, kz, C_in, C_out),
-                             lambda b, t, c, lo_r, nch_r: (c, 0, 0, 0),
+                             lambda b, t, c, lo_r, nch_r, act_r:
+                             (c, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, tile, C_out),
-                                   lambda b, t, c, lo_r, nch_r: (b, t, 0),
+                                   lambda b, t, c, lo_r, nch_r, act_r:
+                                   (b, t, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((NSLOTS, CHUNK, C_in), jnp.bfloat16),
@@ -669,7 +705,7 @@ def sparse_conv_gather_gemm_colwin(feats: jnp.ndarray, nbr: jnp.ndarray,
             bytes_accessed=B * Vp * C_in * 2,
             transcendentals=0),
         interpret=interpret,
-    )(ulo, nch, nbr_p, feats_p, w_cols)
+    )(ulo, nch, act, nbr_p, feats_p, w_cols)
 
     out = out[:, :V_out]
     return jnp.where(out_mask[..., None], out, 0.0).astype(in_dtype)

@@ -63,14 +63,16 @@ def main():
         s1 = downsample_coords(lv2, caps[2])
         s2 = downsample_coords(s1, caps[3])
         s3 = downsample_coords(s2, caps[4])
-        return lv1, lv2, s1, s2, s3
+        s4 = downsample_coords(s3, caps[5])
+        return lv1, lv2, s1, s2, s3, s4
 
-    lv1, lv2, s1, s2, s3 = jax.block_until_ready(chain(lvl0))
+    lv1, lv2, s1, s2, s3, s4 = jax.block_until_ready(chain(lvl0))
 
     tiles = [int(x) for x in args.tiles.split(',')]
     chunks = [int(x) for x in args.chunks.split(',')]
     shapes = [('s1_50k_c64', s1, 64, 64), ('s2_20k_c128', s2, 128, 128),
-              ('s3_6k_c256', s3, 256, 256), ('stem_100k_c3', lv1, 3, 64)]
+              ('s3_6k_c256', s3, 256, 256), ('s4_2k_c512', s4, 512, 512),
+              ('stem_100k_c3', lv1, 3, 64)]
     want = tuple(args.shapes.split(','))
     shapes = [s for s in shapes if s[0].startswith(want)]
 
