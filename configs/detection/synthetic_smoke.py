@@ -14,7 +14,7 @@ model = dict(
                            n_points=n_points, n_views=4, max_gts=4,
                            max_text_len=64),
     backbone=dict(type='ResNet', depth=50, base_channels=4),
-    backbone_3d=dict(type='MinkResNet', in_channels=3, depth=18,
+    backbone_3d=dict(type='MinkResNet', in_channels=3, depth=14,
                      capacities=(2048, 1600, 1024, 512, 256, 128)),
     bbox_head=dict(type='FCAF3DHead', num_classes=8,
                    out_channels=32, num_reg_outs=9,

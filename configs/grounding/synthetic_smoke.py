@@ -14,7 +14,7 @@ model = dict(
     preshape=dict(type='ProxyTransformationNormReverse',
                   n_points=n_points, grid_size=4, text_blocks=2,
                   img_blocks=2, dynamic_drop_radio=0.5, num_sub=8),
-    backbone_3d=dict(type='MinkResNet', in_channels=3, depth=18,
+    backbone_3d=dict(type='MinkResNet', in_channels=3, depth=14,
                      capacities=(2048, 1600, 1024, 512, 256, 128)),
     neck_3d=dict(type='MinkNeck', num_classes=1, out_channels=64,
                  voxel_size=0.05, pts_prune_threshold=128),

@@ -278,8 +278,13 @@ class Runner:
 
     def _init_state(self, batch, mesh=None):
         import optax
-        variables = self.model.init(jax.random.PRNGKey(
-            self.cfg.get('seed', 0)), batch, mode='loss', train=False)
+        # jit the init: eager init dispatches thousands of ops one at a
+        # time (minutes on a 1-core CPU host and through the remote-TPU
+        # tunnel; one compiled program is seconds — see __graft_entry__)
+        variables = jax.jit(
+            lambda k, b: self.model.init(k, b, mode='loss',
+                                         train=False))(
+            jax.random.PRNGKey(self.cfg.get('seed', 0)), batch)
         opt_cfg = self.cfg.get('optim_wrapper', {}).get('optimizer', {})
         lr = opt_cfg.get('lr', 5e-4)
         sched_cfg = self.cfg.get('param_scheduler', {})

@@ -144,6 +144,7 @@ class MinkResNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     arch_settings = {
+        14: ('basic', (1, 1, 1, 1)),  # ME ResNet14 analog (test scale)
         18: ('basic', (2, 2, 2, 2)),
         34: ('basic', (3, 4, 6, 3)),
         50: ('bottleneck', (3, 4, 6, 3)),

@@ -596,16 +596,23 @@ def _make_colwin_kernel(tile: int, kz: int, chunk: int):
                 chunk_bf = buf[slot]              # (CHUNK, C_in) bf16
                 iota_ch = jax.lax.broadcasted_iota(
                     jnp.int32, (tile, CHUNK), 1)
+                # stack the kz one-hots along sublanes and gather with
+                # ONE (kz·tile, CHUNK) dot: same FLOPs, 1/kz the MXU
+                # ops — the serialized per-chunk onehot→dot chain is
+                # the kernel's floor, so fewer/larger ops win
+                ohs = []
                 for j in range(kz):               # static unroll
                     idx = jnp.max(
                         jnp.where(lane == col * kz + j, idx_all,
                                   jnp.int32(-2**31 + 1)), axis=1)
-                    onehot = ((idx - base)[:, None] == iota_ch).astype(
-                        jnp.bfloat16)
-                    g = jax.lax.dot(onehot, chunk_bf,
-                                    preferred_element_type=jnp.float32)
+                    ohs.append(((idx - base)[:, None] == iota_ch).astype(
+                        jnp.bfloat16))
+                g = jax.lax.dot(jnp.concatenate(ohs, axis=0), chunk_bf,
+                                preferred_element_type=jnp.float32)
+                for j in range(kz):
                     out_ref[0] += jax.lax.dot(
-                        g.astype(jnp.bfloat16), w_ref[0, j],
+                        g[j * tile:(j + 1) * tile].astype(jnp.bfloat16),
+                        w_ref[0, j],
                         preferred_element_type=jnp.float32)
             return 0
 
@@ -614,19 +621,142 @@ def _make_colwin_kernel(tile: int, kz: int, chunk: int):
     return _kernel
 
 
+def _make_colfold_kernel(tile: int, kz: int, n_cols: int, chunk: int):
+    """Column-window conv with ALL columns folded into one grid step.
+
+    The per-column grid of `_make_colwin_kernel` pays ~1 µs of Mosaic
+    step overhead per (b, tile, col) — at stage-1 model shapes that is
+    B·196·9 ≈ 3.5k steps ≈ 3.5 ms, MORE than the kernel's matmul time
+    (the same overhead the merge-join kernel eliminated with big
+    blocks). Here the grid is (b, tile) and the 9 (dx, dy) columns run
+    inside the body, each still streaming its own tight window through
+    the same producer/consumer DMA pipeline (the producer cursor
+    already traversed (b, t, col, chunk) — only its `n_cols` source
+    changes from a grid dim to a static). Requires the FULL weight
+    block (K3, C_in, C_out) resident in VMEM, so the caller only
+    routes here when C_in·C_out·K3·2B is small (≤128-channel stages —
+    exactly the overhead-dominated ones).
+    """
+    CHUNK = chunk
+
+    def _kernel(ulo_ref,     # (B*n_tiles*n_cols,) scalar prefetch
+                nch_ref,
+                act_ref,
+                nbr_ref,     # (1, TILE, K3) int32 block
+                feats_ref,   # (B, V_in_pad, C_in) bf16 in ANY/HBM
+                w_ref,       # (n_cols, kz, C_in, C_out) bf16 — FULL
+                out_ref,     # (1, TILE, C_out) f32 block
+                buf,         # VMEM (NSLOTS, CHUNK, C_in) bf16
+                st,          # SMEM (6,) pipeline state
+                sem):        # DMA sems (NSLOTS,)
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        n_b, n_t = pl.num_programs(0), pl.num_programs(1)
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        idx_all = nbr_ref[0]                      # (TILE, K3)
+        lane = jax.lax.broadcasted_iota(jnp.int32, idx_all.shape, 1)
+        iota_ch = jax.lax.broadcasted_iota(jnp.int32, (tile, CHUNK), 1)
+
+        def produce_one(_=None):
+            pb, pt, pg, pc = st[_PB], st[_PT], st[_PG], st[_PC]
+
+            @pl.when(pb < n_b)
+            def _():
+                base = ulo_ref[(pb * n_t + pt) * n_cols + pg] + pc * CHUNK
+                slot = jax.lax.rem(st[_PCNT], NSLOTS)
+                pltpu.make_async_copy(
+                    feats_ref.at[pb, pl.ds(pl.multiple_of(base, ALIGN),
+                                           CHUNK), :],
+                    buf.at[slot], sem.at[slot]).start()
+                st[_PCNT] = st[_PCNT] + 1
+                nxt_pc = pc + 1
+                done_w = nxt_pc >= nch_ref[(pb * n_t + pt) * n_cols + pg]
+                st[_PC] = jnp.where(done_w, 0, nxt_pc)
+                nxt_pg = jnp.where(done_w, pg + 1, pg)
+                done_g = nxt_pg >= n_cols
+                st[_PG] = jnp.where(done_g, 0, nxt_pg)
+                nxt_pt = jnp.where(done_g, pt + 1, pt)
+                done_t = nxt_pt >= n_t
+                st[_PT] = jnp.where(done_t, 0, nxt_pt)
+                st[_PB] = jnp.where(done_t, pb + 1, pb)
+
+        @pl.when((b == 0) & (t == 0))
+        def _():
+            for i in range(6):
+                st[i] = 0
+            for _ in range(AHEAD + 1):
+                produce_one()
+
+        def col_body(g, _):
+            ulo = ulo_ref[(b * n_t + t) * n_cols + g]
+            nch = nch_ref[(b * n_t + t) * n_cols + g]
+            act = act_ref[(b * n_t + t) * n_cols + g]
+
+            def body(c, _):
+                slot = jax.lax.rem(st[_CONS], NSLOTS)
+                base = ulo + c * CHUNK
+                pltpu.make_async_copy(
+                    feats_ref.at[b, pl.ds(pl.multiple_of(base, ALIGN),
+                                          CHUNK), :],
+                    buf.at[slot], sem.at[slot]).wait()
+                st[_CONS] = st[_CONS] + 1
+                produce_one()
+
+                # occupancy skip (see _make_colwin_kernel): all-miss
+                # (tile, col) pairs contribute exactly zero; DMA waits
+                # stay unconditional to keep the semaphores in lockstep
+                @pl.when(act != 0)
+                def _():
+                    chunk_bf = buf[slot]          # (CHUNK, C_in) bf16
+                    for j in range(kz):           # static unroll
+                        idx = jnp.max(
+                            jnp.where(lane == g * kz + j, idx_all,
+                                      jnp.int32(-2**31 + 1)), axis=1)
+                        onehot = ((idx - base)[:, None]
+                                  == iota_ch).astype(jnp.bfloat16)
+                        gth = jax.lax.dot(
+                            onehot, chunk_bf,
+                            preferred_element_type=jnp.float32)
+                        out_ref[0] += jax.lax.dot(
+                            gth.astype(jnp.bfloat16), w_ref[g, j],
+                            preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, nch, body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_cols, col_body, 0)
+
+    return _kernel
+
+
+# full-weight-block VMEM budget for the folded kernel (bf16 bytes);
+# 27·128·128·2 = 884 KB passes, 27·256·256·2 = 3.5 MB stays on the
+# per-column grid
+_COLFOLD_WEIGHT_BYTES = 1 << 20
+
+
 @functools.partial(jax.jit,
-                   static_argnames=('interpret', 'tile', 'chunk', 'kz'))
+                   static_argnames=('interpret', 'tile', 'chunk', 'kz',
+                                    'fold'))
 def sparse_conv_gather_gemm_colwin(feats: jnp.ndarray, nbr: jnp.ndarray,
                                    weights: jnp.ndarray,
                                    out_mask: jnp.ndarray,
                                    interpret: bool = None,
                                    tile: int = 0, chunk: int = 0,
-                                   kz: int = 0) -> jnp.ndarray:
+                                   kz: int = 0,
+                                   fold: bool = None) -> jnp.ndarray:
     """Column-window sparse conv (see _make_colwin_kernel).
 
     kz is the kernel z-extent (offsets per column); defaults to
     round(K3^(1/3)) — 3 for k3 maps, 2 for k2 pool maps. Falls back on
     the union-window kernel when K3 has no column structure.
+
+    fold: None = auto (fold the column grid dim into the body when the
+    full weight block fits VMEM, see _make_colfold_kernel); True/False
+    force the choice (tuning).
     """
     B, V_out, K3 = nbr.shape
     C_out = weights.shape[-1]
@@ -671,41 +801,92 @@ def sparse_conv_gather_gemm_colwin(feats: jnp.ndarray, nbr: jnp.ndarray,
     ulo = ulo.reshape(-1)
     nch = nch.reshape(-1)
     act = act.reshape(-1)
-    grid = (B, n_tiles, n_cols)
-    out = pl.pallas_call(
-        _make_colwin_kernel(tile, kz, CHUNK),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, tile, K3),
-                             lambda b, t, c, lo_r, nch_r, act_r: (b, t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((1, kz, C_in, C_out),
-                             lambda b, t, c, lo_r, nch_r, act_r:
-                             (c, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, tile, C_out),
-                                   lambda b, t, c, lo_r, nch_r, act_r:
-                                   (b, t, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((NSLOTS, CHUNK, C_in), jnp.bfloat16),
-                pltpu.SMEM((6, ), jnp.int32),
-                pltpu.SemaphoreType.DMA((NSLOTS, )),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Vp, C_out), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'), ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * Vp * K3 * C_in * (C_out + CHUNK),
-            bytes_accessed=B * Vp * C_in * 2,
-            transcendentals=0),
-        interpret=interpret,
-    )(ulo, nch, act, nbr_p, feats_p, w_cols)
+
+    if fold is None:
+        # default OFF: at stage-1/stem shapes the folded kernel measured
+        # ~parity with the per-column grid (the ~1 µs/step Mosaic
+        # overhead hypothesis did not hold — the cost is the serialized
+        # one-hot/dot chain, which folding does not change); kept as an
+        # opt-in for tuning via tools/tune_conv.py --fold
+        fold = False
+    fold = fold and K3 * C_in * C_out * 2 <= _COLFOLD_WEIGHT_BYTES
+    if fold:
+        # fold the columns into the body: grid (B, n_tiles) — the
+        # per-step Mosaic overhead (~1 µs) otherwise exceeds the matmul
+        # time at the ≤128-channel stages
+        out = pl.pallas_call(
+            _make_colfold_kernel(tile, kz, n_cols, CHUNK),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(B, n_tiles),
+                in_specs=[
+                    pl.BlockSpec((1, tile, K3),
+                                 lambda b, t, lo_r, nch_r, act_r:
+                                 (b, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec((n_cols, kz, C_in, C_out),
+                                 lambda b, t, lo_r, nch_r, act_r:
+                                 (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, tile, C_out),
+                                       lambda b, t, lo_r, nch_r, act_r:
+                                       (b, t, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((NSLOTS, CHUNK, C_in), jnp.bfloat16),
+                    pltpu.SMEM((6, ), jnp.int32),
+                    pltpu.SemaphoreType.DMA((NSLOTS, )),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Vp, C_out), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary', 'arbitrary'), ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * Vp * K3 * C_in * (C_out + CHUNK),
+                bytes_accessed=B * Vp * C_in * 2,
+                transcendentals=0),
+            interpret=interpret,
+        )(ulo, nch, act, nbr_p, feats_p, w_cols)
+    else:
+        grid = (B, n_tiles, n_cols)
+        out = pl.pallas_call(
+            _make_colwin_kernel(tile, kz, CHUNK),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, tile, K3),
+                                 lambda b, t, c, lo_r, nch_r, act_r:
+                                 (b, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec((1, kz, C_in, C_out),
+                                 lambda b, t, c, lo_r, nch_r, act_r:
+                                 (c, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, tile, C_out),
+                                       lambda b, t, c, lo_r, nch_r, act_r:
+                                       (b, t, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((NSLOTS, CHUNK, C_in), jnp.bfloat16),
+                    pltpu.SMEM((6, ), jnp.int32),
+                    pltpu.SemaphoreType.DMA((NSLOTS, )),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Vp, C_out), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary', 'arbitrary',
+                                     'arbitrary'), ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * Vp * K3 * C_in * (C_out + CHUNK),
+                bytes_accessed=B * Vp * C_in * 2,
+                transcendentals=0),
+            interpret=interpret,
+        )(ulo, nch, act, nbr_p, feats_p, w_cols)
 
     out = out[:, :V_out]
     return jnp.where(out_mask[..., None], out, 0.0).astype(in_dtype)

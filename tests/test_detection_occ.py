@@ -73,18 +73,24 @@ def test_detection_model_loss_and_predict():
     rng = np.random.RandomState(0)
     model = Embodied3DDetector(
         voxel_size=0.05, n_points=1024, num_classes=5,
-        img_base_channels=4, backbone3d_depth=18,
+        img_base_channels=4, backbone3d_depth=14,
         sparse_capacities=(1024, 800, 512, 256, 128, 64),
         voxel_extent=(128, 128, 128), head_out_channels=32,
         pts_prune_threshold=64)
     batch = _det_batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), batch, mode='loss',
-                           train=False)
-    losses = model.apply(variables, batch, mode='loss', train=False)
+    # jitted init/loss/predict: single compiled programs instead of
+    # per-op eager compiles (~3x faster on this 1-core CPU image)
+    variables = jax.jit(
+        lambda k, b: model.init(k, b, mode='loss', train=False))(
+            jax.random.PRNGKey(0), batch)
+    losses = jax.jit(
+        lambda v, b: model.apply(v, b, mode='loss', train=False))(
+            variables, batch)
     assert set(losses) == {'loss_center', 'loss_bbox', 'loss_cls'}
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
-    out = model.apply(variables, batch, mode='predict')
+    out = jax.jit(lambda v, b: model.apply(v, b, mode='predict'))(
+        variables, batch)
     boxes = np.asarray(out['bboxes_3d'])
     scores = np.asarray(out['scores_3d'])
     mask = np.asarray(out['mask'])
@@ -127,11 +133,15 @@ def test_occ_supervision_and_model():
         'gt_occupancy': jnp.asarray(occ_pts),
         'gt_occupancy_masks': jnp.ones((B, 20), bool),
     }
-    variables = model.init(jax.random.PRNGKey(0), batch, mode='loss',
-                           train=False)
-    losses = model.apply(variables, batch, mode='loss', train=False)
+    variables = jax.jit(
+        lambda k, b: model.init(k, b, mode='loss', train=False))(
+            jax.random.PRNGKey(0), batch)
+    losses = jax.jit(
+        lambda v, b: model.apply(v, b, mode='loss', train=False))(
+            variables, batch)
     assert all(np.isfinite(float(v)) for v in losses.values())
-    out = model.apply(variables, batch, mode='predict')
+    out = jax.jit(lambda v, b: model.apply(v, b, mode='predict'))(
+        variables, batch)
     assert out['occupancy'].shape == (B, 16, 16, 8)
 
 

@@ -16,7 +16,10 @@ def tiny_model():
         text_width=32, text_layers=2, text_heads=4,
         grid_size=4, text_blocks=1, img_blocks=1,
         dynamic_drop_radio=0.5, num_sub=8,
-        backbone3d_depth=18,
+        backbone3d_depth=14,  # ME ResNet14 analog — halves the XLA CPU
+        # compile time of every full-model test; depth 18 stays covered
+        # by __graft_entry__ (driver entry + multichip dryrun) and
+        # test_torch_convert, depth 34 by test_sparse_models
         sparse_capacities=(1024, 800, 512, 256, 128, 64),
         voxel_extent=(128, 128, 128),
         neck_out_channels=64,
@@ -62,13 +65,19 @@ def model_and_vars():
     rng = np.random.RandomState(0)
     model = tiny_model()
     batch = tiny_batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), batch, mode='predict')
+    # jit the init: on this 1-core CPU image the eager init dispatches
+    # thousands of individually-compiled ops (~4 min); one compiled
+    # program is ~6x faster (same trick as __graft_entry__.entry)
+    variables = jax.jit(
+        lambda k, b: model.init(k, b, mode='predict'))(
+            jax.random.PRNGKey(0), batch)
     return model, variables, batch
 
 
 def test_predict_shapes(model_and_vars):
     model, variables, batch = model_and_vars
-    out = model.apply(variables, batch, mode='predict')
+    out = jax.jit(lambda v, b: model.apply(v, b, mode='predict'))(
+        variables, batch)
     assert out['bboxes_3d'].shape == (2, 16, 9)
     assert out['scores_3d'].shape == (2, 16)
     s = np.asarray(out['scores_3d'])
@@ -80,20 +89,22 @@ def test_predict_shapes(model_and_vars):
 
 def test_loss_finite_and_grad(model_and_vars):
     model, variables, batch = model_and_vars
-    losses = model.apply(variables, batch, mode='loss', train=False)
-    # per-layer cls+bbox losses for 2 decoder layers
-    assert set(losses) == {'loss_cls', 'loss_bbox', 'd0.loss_cls',
-                           'd0.loss_bbox'}
-    for k, v in losses.items():
-        assert np.isfinite(float(v)), k
 
     def total(params):
         l = model.apply({'params': params,
                          'batch_stats': variables['batch_stats']},
                         batch, mode='loss', train=False)
-        return sum(jax.tree_util.tree_leaves(l))
+        return sum(jax.tree_util.tree_leaves(l)), l
 
-    g = jax.grad(total)(variables['params'])
+    # ONE compiled program for losses + grads (the eager version
+    # dispatched each op separately: ~13 min on this 1-core image)
+    (_, losses), g = jax.jit(
+        jax.value_and_grad(total, has_aux=True))(variables['params'])
+    # per-layer cls+bbox losses for 2 decoder layers
+    assert set(losses) == {'loss_cls', 'loss_bbox', 'd0.loss_cls',
+                           'd0.loss_bbox'}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
     # text encoder is frozen (stop_gradient)
@@ -113,9 +124,10 @@ def test_loss_finite_and_grad(model_and_vars):
 @pytest.mark.slow
 def test_train_mode_runs(model_and_vars):
     model, variables, batch = model_and_vars
-    out, mutated = model.apply(
-        variables, batch, mode='loss', train=True,
-        mutable=['batch_stats'], rngs={'dropout': jax.random.PRNGKey(2)})
+    out, mutated = jax.jit(lambda v, b: model.apply(
+        v, b, mode='loss', train=True,
+        mutable=['batch_stats'],
+        rngs={'dropout': jax.random.PRNGKey(2)}))(variables, batch)
     assert 'batch_stats' in mutated
     for k, v in out.items():
         assert np.isfinite(float(v)), k

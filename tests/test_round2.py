@@ -194,7 +194,11 @@ def test_use_xyz_feat_false_raises_cleanly_without_colors():
         'views_mask': jnp.ones((1, 1), bool),
     }
     with pytest.raises(ValueError, match='use_xyz_feat'):
-        model.init(jax.random.PRNGKey(0), batch, mode='predict')
+        # under jit the ValueError fires at TRACE time — no per-op
+        # eager compiles (this test spent 76 s dispatching the R50
+        # stem eagerly just to reach the raise)
+        jax.jit(lambda k, b: model.init(k, b, mode='predict'))(
+            jax.random.PRNGKey(0), batch)
 
 
 # ---------------------------------------------------------------------------

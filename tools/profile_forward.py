@@ -95,7 +95,8 @@ def main():
 
     from proxytransformation_tpu.ops.sparse import voxelize_points
     lvl0 = None
-    if not {'all', 'voxelize', 'backbone3d'}.isdisjoint(want):
+    if not {'all', 'voxelize', 'backbone3d', 'paint', 'neck',
+            'neckpaint'}.isdisjoint(want):
         vox = jax.jit(lambda p, m: voxelize_points(
             p, m, p, voxel_size=model.voxel_size, capacity=model.n_points,
             extent=tuple(model.voxel_extent)))
@@ -123,7 +124,7 @@ def main():
         record('backbone3d', chained_ms_per_iter(
             step_bb3, (lvl0.feats, variables), n_short=1, n_long=3))
 
-    if 'paint' in want or 'neck' in want:
+    if not {'paint', 'neck', 'neckpaint'}.isdisjoint(want):
         # real level chain + painted features, computed once
         from proxytransformation_tpu.models.point_fusion import (
             batch_point_sample)
@@ -180,6 +181,33 @@ def main():
                          for lv in plv], v)
             record('neck_3d', chained_ms_per_iter(
                 step_neck, (painted, variables), n_short=1, n_long=4))
+
+        if 'neckpaint' in want:
+            # the REAL configuration: painting threaded through the
+            # neck via paint_fn, running on the post-compaction sets —
+            # this is what the extract_feat residual actually measures
+            def step_np(i, st):
+                lvls, f2d, v = st
+
+                def paint_fn(xyz, vmask, lvl_idx):
+                    return jax.vmap(
+                        lambda imf, p, proj, vm, vmask_: batch_point_sample(
+                            imf, p, proj, (H, W), img_scale_factor=None,
+                            valid_mask=vm, views_mask=vmask_,
+                            aligned=False))(
+                        f2d[lvl_idx], xyz, batch['proj_mats'], vmask,
+                        batch['views_mask'])
+
+                out = model.apply(v, lvls, False, smaps, paint_fn,
+                                  method=lambda m, x, tr, sm, pf:
+                                  m.neck_3d(x, train=tr, self_maps=sm,
+                                            paint_fn=pf))
+                bump = 1e-6 * jnp.mean(out[0])
+                return ([lv._replace(feats=lv.feats + bump)
+                         for lv in lvls], f2d, v)
+            record('neck_with_paint', chained_ms_per_iter(
+                step_np, (levels, feats2d, variables), n_short=1,
+                n_long=4))
 
     if 'all' in want or 'extract' in want:
         def step_ex(i, st):

@@ -124,6 +124,43 @@ def main():
     time_conv('conv_s3_6k_256', s3, 256, 256)
     time_conv('conv_s4_2k_512', s4, 512, 512)
 
+    # ---- the convs the per-stage loop above does NOT cover ----
+    # stem conv: 3->64 over the k3 s2 map at ~96k output rows — same
+    # per-row one-hot gather cost as a 64ch conv (C_in pads to 128)
+    def time_conv_strided(name, src, dst, cin, cout, k=3, s=2):
+        nbr = jax.jit(lambda a, b: build_neighbor_map(
+            a, b, kernel_size=k, stride=s))(src, dst)
+        w = jnp.asarray(rng.randn(nbr.shape[-1], cin, cout).astype(
+            np.float32) * 0.05)
+        f0 = jnp.asarray(
+            rng.randn(B, src.capacity, cin).astype(np.float32))
+
+        def step(i, st_):
+            f, = st_
+            out = sparse_conv(f, nbr, w, dst.mask)
+            return (f + 0.001 * jnp.mean(out, -1, keepdims=True), )
+        record(name, chained_ms_per_iter(step, (f0, ), n_short=1,
+                                         n_long=4))
+
+    time_conv_strided('conv_stem_3to64_96k', lvl0, lv1, 3, 64)
+    time_conv_strided('conv_s1_strided_64', lv2, s1, 64, 64)
+    time_conv_strided('conv_s2_strided_128', s1, s2, 64, 128)
+    time_conv_strided('conv_s3_strided_256', s2, s3, 128, 256)
+    time_conv_strided('conv_s4_strided_512', s3, s4, 256, 512)
+
+    # max pool over the k2 s2 map (stem -> pool level)
+    from proxytransformation_tpu.ops.sparse import sparse_max_pool
+    pnbr = jax.jit(lambda a, b: build_neighbor_map(
+        a, b, kernel_size=2, stride=2))(lv1, lv2)
+    fp = jnp.asarray(rng.randn(B, lv1.capacity, 64).astype(np.float32))
+
+    def step_pool(i, st_):
+        f, = st_
+        out = sparse_max_pool(f, pnbr, lv2.mask)
+        return (f + 0.001 * jnp.mean(out, -1, keepdims=True), )
+    record('maxpool_96k_64', chained_ms_per_iter(step_pool, (fp, ),
+                                                 n_short=1, n_long=4))
+
     # ---- norms at the big stage shape ----
     from proxytransformation_tpu.models.sparse_resnet import (
         MaskedBatchNorm, MaskedInstanceNorm)

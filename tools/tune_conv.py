@@ -28,6 +28,8 @@ def main():
     ap.add_argument('--chunks', type=str, default='256,512')
     ap.add_argument('--shapes', type=str, default='s1,s2',
                     help='comma list of shape-name prefixes to scan')
+    ap.add_argument('--fold', type=str, default='auto',
+                    help='auto | both | 0 | 1 — column-fold kernel choice')
     args = ap.parse_args()
     B = args.batch
 
@@ -88,11 +90,14 @@ def main():
         f0 = jnp.asarray(rng.randn(
             B, (lvl0 if name.startswith('stem') else lvl).capacity,
             cin).astype(np.float32))
-        for tile, chunk in itertools.product(tiles, chunks):
+        folds = {'auto': (None, ), 'both': (False, True),
+                 '0': (False, ), '1': (True, )}[args.fold]
+        for tile, chunk, fold in itertools.product(tiles, chunks, folds):
             def step(i, st_):
                 f, = st_
                 out = sparse_conv_gather_gemm_colwin(
-                    f, nbr, w, lvl.mask, tile=tile, chunk=chunk)
+                    f, nbr, w, lvl.mask, tile=tile, chunk=chunk,
+                    fold=fold)
                 if cin == cout:
                     upd = jnp.zeros_like(f).at[:, :out.shape[1]].set(
                         0.001 * out)
@@ -102,15 +107,16 @@ def main():
                 ms = chained_ms_per_iter(step, (f0, ), n_short=1, n_long=4)
             except Exception as e:  # noqa: BLE001
                 print(json.dumps({'shape': name, 'tile': tile,
-                                  'chunk': chunk,
+                                  'chunk': chunk, 'fold': fold,
                                   'error': str(e)[-120:]}), flush=True)
                 continue
             print(json.dumps({'shape': name, 'tile': tile, 'chunk': chunk,
-                              'ms': round(ms, 2)}), flush=True)
+                              'fold': fold, 'ms': round(ms, 2)}),
+                  flush=True)
             if name not in best or ms < best[name][2]:
-                best[name] = (tile, chunk, ms)
+                best[name] = (tile, chunk, ms, fold)
     print(json.dumps({'best': {k: {'tile': v[0], 'chunk': v[1],
-                                   'ms': round(v[2], 2)}
+                                   'ms': round(v[2], 2), 'fold': v[3]}
                                for k, v in best.items()}}), flush=True)
 
 
