@@ -17,14 +17,23 @@ TPU under the driver):
      falling back to a smaller B on OOM with the B used reported.
 
 Every stage also reports analytic FLOPs (XLA HLO cost analysis of the
-single-step program, host-side), achieved TFLOP/s, and MFU against the
-chip's bf16 peak — the absolute are-we-fast signal, independent of any
-self-anchored baseline.
+single-step program — precomputed into the committed BENCH_FLOPS.json
+by `python bench.py --update-flops`, since the unrolled-scan CPU
+trace+lower takes tens of minutes), achieved TFLOP/s, and MFU against
+the chip's bf16 peak — the absolute are-we-fast signal, independent of
+any self-anchored baseline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
 the secondary measurements and a per-stage {ok, error_tail} status map
 as extra keys. Partial results persist to BENCH_partial.json after
 every stage, so a stage timeout cannot lose earlier measurements.
+
+Budgeting (round-4 lesson: the driver's own timeout killed the run with
+zero parsed output): stages run scarcest-first (preshape:uniform north
+star → train step B=6 → forward regimes), each scene-regime PAIR shares
+one subprocess/compile (identical HLO), and a global wall-clock
+deadline (BENCH_DEADLINE_S, default 3000 s) stops launching stages in
+time to always print the final JSON.
 
 Timing note: this environment's remote TPU backend returns from
 `block_until_ready` before execution completes, so all numbers use
@@ -34,6 +43,7 @@ iterations + scalar readback, two chain lengths differenced).
 import json
 import os
 import sys
+import time
 import traceback
 
 import numpy as np
@@ -288,29 +298,44 @@ def _run_stage(stage: str):
     from proxytransformation_tpu.utils.timing import chained_ms_per_iter
 
     parts = stage.split(':')
-    scene = parts[-1] if parts[-1] in ('surface', 'uniform') else 'surface'
-    if parts[0] == 'preshape':
-        sps, ms = bench_preshape(jax, jnp, chained_ms_per_iter, scene)
-        print(json.dumps({'scenes_per_sec': round(sps, 2),
-                          'ms': round(ms, 2), 'scene': scene}))
-        return
-    if parts[0] == 'full_forward':
-        B = int(parts[1])
-        sps, ms, used = bench_full_forward(jax, jnp, chained_ms_per_iter,
-                                           B, scene)
-        print(json.dumps({'scenes_per_sec': round(sps, 2),
+    if parts[-1] == 'pair':
+        # both scene regimes in ONE process: the two programs have
+        # identical HLO (only input data differs), so the second regime
+        # reuses the first's in-process jit executables — one compile,
+        # two measurements. Uniform (the anchor regime) runs FIRST so a
+        # mid-stage timeout still leaves the north-star number behind
+        # (flushed line-by-line).
+        scenes = ('uniform', 'surface')
+    else:
+        scenes = (parts[-1] if parts[-1] in ('surface', 'uniform')
+                  else 'surface', )
+    out = {}
+    for scene in scenes:
+        if parts[0] == 'preshape':
+            sps, ms = bench_preshape(jax, jnp, chained_ms_per_iter, scene)
+            out[scene] = {'scenes_per_sec': round(sps, 2),
+                          'ms': round(ms, 2), 'scene': scene}
+        elif parts[0] == 'full_forward':
+            B = int(parts[1])
+            sps, ms, used = bench_full_forward(jax, jnp,
+                                               chained_ms_per_iter, B,
+                                               scene)
+            out[scene] = {'scenes_per_sec': round(sps, 2),
                           'ms': round(ms, 1), 'batch': used,
-                          'scene': scene}))
-        return
-    if parts[0] == 'train_step':
-        B = int(parts[1])
-        sps, ms, used = bench_train_step(jax, jnp, chained_ms_per_iter, B,
-                                         scene)
-        print(json.dumps({'scenes_per_sec': round(sps, 2),
+                          'scene': scene}
+        elif parts[0] == 'train_step':
+            B = int(parts[1])
+            sps, ms, used = bench_train_step(jax, jnp, chained_ms_per_iter,
+                                             B, scene)
+            out[scene] = {'scenes_per_sec': round(sps, 2),
                           'ms': round(ms, 1), 'batch': used,
-                          'scene': scene}))
-        return
-    raise ValueError(stage)
+                          'scene': scene}
+        else:
+            raise ValueError(stage)
+        # flush per regime: the parent reads the LAST complete line, so
+        # a timeout after regime 1 still yields regime 1's number
+        print(json.dumps(out if parts[-1] == 'pair' else out[scene]),
+              flush=True)
 
 
 def _stage_subprocess(stage: str, timeout_s: int):
@@ -333,7 +358,20 @@ def _stage_subprocess(stage: str, timeout_s: int):
                           'error_tail': proc.stderr[-800:].strip()}
         line = proc.stdout.strip().splitlines()[-1]
         return json.loads(line), {'ok': True}
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # pair stages flush a complete JSON line per regime — salvage
+        # whatever finished before the timeout
+        partial = (e.stdout or b'')
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors='replace')
+        for line in reversed(partial.strip().splitlines() or []):
+            try:
+                return json.loads(line), {
+                    'ok': False,
+                    'error_tail': f'timeout after {timeout_s}s '
+                                  '(partial regimes salvaged)'}
+            except json.JSONDecodeError:
+                continue
         return None, {'ok': False,
                       'error_tail': f'timeout after {timeout_s}s'}
     except Exception:
@@ -346,10 +384,42 @@ def main():
     if '--stage' in sys.argv:
         _run_stage(sys.argv[sys.argv.index('--stage') + 1])
         return
+    if '--update-flops' in sys.argv:
+        # Regenerate the committed analytic-FLOPs cache (run after any
+        # model change; each entry is a CPU-forced trace+lower with
+        # unrolled scans and can take many minutes — which is exactly
+        # why the bench run itself reads the cache instead).
+        here = os.path.dirname(os.path.abspath(__file__))
+        cache = {}
+        for fstage in ('preshape', 'full_forward:2', 'train_step:6'):
+            res, status = _stage_subprocess(f'flops:{fstage}', 3000)
+            if res and res.get('flops'):
+                cache[fstage] = res['flops']
+                print(f'{fstage}: {res["flops"]:.3e} FLOPs', flush=True)
+            else:
+                print(f'{fstage}: FAILED {status}', flush=True)
+        with open(os.path.join(here, 'BENCH_FLOPS.json'), 'w') as f:
+            json.dump(cache, f, indent=1)
+        return
+
+    # Global wall-clock deadline: the driver runs `python bench.py`
+    # under its own timeout and a stage that blocks past it loses the
+    # WHOLE benchmark (round 4: rc=124, parsed null). After the deadline
+    # no new stage launches and main() prints the final JSON from
+    # whatever completed. Stages run scarcest-first so a tight budget
+    # still captures the north-star (preshape uniform) and the train
+    # step before the (re-)measured forward regimes.
+    deadline = time.time() + float(os.environ.get('BENCH_DEADLINE_S',
+                                                  '3000'))
+    reserve_s = 45.0  # final-JSON + flops-lookup slack
+
+    def remaining():
+        return deadline - time.time() - reserve_s
 
     extra = {'stages': {}}
-    partial_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), 'BENCH_partial.json')
+    here = os.path.dirname(os.path.abspath(__file__))
+    partial_path = os.path.join(here, 'BENCH_partial.json')
+    flops_path = os.path.join(here, 'BENCH_FLOPS.json')
 
     def _checkpoint():
         try:
@@ -358,47 +428,67 @@ def main():
         except OSError:
             pass
 
-    flops_cache = {}
+    # Analytic FLOPs come from the committed cache (BENCH_FLOPS.json,
+    # regenerated by `python bench.py --update-flops` whenever the model
+    # changes): they depend only on shapes + code, not the run, and the
+    # CPU trace/lower subprocess that computes them (unrolled scans) can
+    # take tens of minutes — budget that belongs to real measurements.
+    try:
+        with open(flops_path) as f:
+            flops_cache = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        flops_cache = {}
 
-    def _stage(name, stage, timeout_s, keys=('scenes_per_sec', 'ms',
-                                             'batch', 'scene')):
-        res, status = _stage_subprocess(stage, timeout_s)
+    def _emit(name, res, stage):
+        for k in ('scenes_per_sec', 'ms', 'batch', 'scene'):
+            if k in res:
+                extra[f'{name}_{k}'] = res[k]
+        fstage = ':'.join(p for p in stage.split(':')
+                          if p not in ('surface', 'uniform', 'pair'))
+        fl = flops_cache.get(fstage)
+        if fl:
+            extra[f'{name}_flops'] = fl
+            tflops = fl / (res['ms'] * 1e-3) / 1e12
+            extra[f'{name}_achieved_tflops'] = round(tflops, 2)
+            extra[f'{name}_mfu'] = round(tflops / PEAK_BF16_TFLOPS, 4)
+
+    def _stage(name, stage, timeout_s):
+        """Run a stage; returns {scene: result} for pair stages, the
+        single result dict otherwise (None on failure/skip)."""
+        budget = int(min(timeout_s, remaining()))
+        if budget < 60:
+            extra['stages'][stage] = {
+                'ok': False, 'error_tail': 'skipped: global deadline'}
+            _checkpoint()
+            return None
+        res, status = _stage_subprocess(stage, budget)
         extra['stages'][stage] = status
-        if res:
-            for k in keys:
-                if k in res:
-                    extra[f'{name}_{k}'] = res[k]
-            # analytic FLOPs + MFU: a second, CPU-forced subprocess
-            # traces/lowers the same stage abstractly (cost_analysis is
-            # unavailable on the axon client). FLOPs depend only on the
-            # shapes, not the scene regime — strip the scene and cache.
-            fstage = ':'.join(p for p in stage.split(':')
-                              if p not in ('surface', 'uniform'))
-            if fstage not in flops_cache:
-                fl, fstatus = _stage_subprocess(f'flops:{fstage}', 1800)
-                flops_cache[fstage] = fl
-                if not (fl and fl.get('flops')):
-                    extra['stages'][f'flops:{fstage}'] = fstatus
-            fl = flops_cache[fstage]
-            if fl and fl.get('flops'):
-                extra[f'{name}_flops'] = fl['flops']
-                tflops = fl['flops'] / (res['ms'] * 1e-3) / 1e12
-                extra[f'{name}_achieved_tflops'] = round(tflops, 2)
-                extra[f'{name}_mfu'] = round(tflops / PEAK_BF16_TFLOPS, 4)
+        if res and stage.endswith(':pair'):
+            for scene, sub in res.items():
+                _emit(name if scene == 'surface' else f'{name}_{scene}',
+                      sub, stage)
+        elif res:
+            _emit(name, res, stage)
         _checkpoint()
         return res
 
-    ff = _stage('full_forward', 'full_forward:2:surface', 3600)
-    if not ff:
-        ff = _stage('full_forward', 'full_forward:1:surface', 2400)
-    ffu = _stage('full_forward_uniform', 'full_forward:2:uniform', 2400)
+    # 1. north-star: preshape, uniform anchor regime first inside the
+    #    pair (one compile serves both regimes — identical HLO)
+    pre_pair = _stage('preshape', 'preshape:pair', 1800) or {}
 
-    pre = _stage('preshape', 'preshape:surface', 2400)
-    preu = _stage('preshape_uniform', 'preshape:uniform', 1800)
-
-    ts = _stage('train_step', 'train_step:6:surface', 3600)
+    # 2. train step at the reference per-GPU batch — the scarcest number
+    ts = _stage('train_step', 'train_step:6:surface', 2700)
     if not ts:
-        ts = _stage('train_step', 'train_step:2:surface', 3600)
+        ts = _stage('train_step', 'train_step:2:surface', 1800)
+
+    # 3. full forward: surface (headline ms) + uniform (headline ratio)
+    ff_pair = _stage('full_forward', 'full_forward:2:pair', 2400)
+    if not ff_pair:
+        ff_pair = _stage('full_forward', 'full_forward:1:surface', 1200)
+        ff_pair = {'surface': ff_pair} if ff_pair else {}
+
+    ff, ffu = ff_pair.get('surface'), ff_pair.get('uniform')
+    pre, preu = pre_pair.get('surface'), pre_pair.get('uniform')
 
     def _ratio(res, regime, which):
         if not res:
