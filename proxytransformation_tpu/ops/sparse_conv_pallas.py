@@ -740,14 +740,15 @@ _COLFOLD_WEIGHT_BYTES = 1 << 20
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'tile', 'chunk', 'kz',
-                                    'fold'))
+                                    'fold', 'all_active'))
 def sparse_conv_gather_gemm_colwin(feats: jnp.ndarray, nbr: jnp.ndarray,
                                    weights: jnp.ndarray,
                                    out_mask: jnp.ndarray,
                                    interpret: bool = None,
                                    tile: int = 0, chunk: int = 0,
                                    kz: int = 0,
-                                   fold: bool = None) -> jnp.ndarray:
+                                   fold: bool = None,
+                                   all_active: bool = False) -> jnp.ndarray:
     """Column-window sparse conv (see _make_colwin_kernel).
 
     kz is the kernel z-extent (offsets per column); defaults to
@@ -757,6 +758,10 @@ def sparse_conv_gather_gemm_colwin(feats: jnp.ndarray, nbr: jnp.ndarray,
     fold: None = auto (fold the column grid dim into the body when the
     full weight block fits VMEM, see _make_colfold_kernel); True/False
     force the choice (tuning).
+
+    all_active: force every (tile, column) occupancy flag on, disabling
+    the all-miss skip branch — the A/B control for proving the skip is
+    bit-exact (tools/verify_tpu_exactness.py) and for tuning.
     """
     B, V_out, K3 = nbr.shape
     C_out = weights.shape[-1]
@@ -792,6 +797,8 @@ def sparse_conv_gather_gemm_colwin(feats: jnp.ndarray, nbr: jnp.ndarray,
     nch = jnp.maximum(-(-(jnp.maximum(uhi - ulo + 1, 0)) // CHUNK),
                       1).astype(jnp.int32)
     act = (uhi >= 0).astype(jnp.int32)    # any hit in this (tile, col)
+    if all_active:
+        act = jnp.ones_like(act)
 
     feats_p = _pad_to(feats, CHUNK, axis=1)
     feats_p = jnp.pad(feats_p, ((0, 0), (0, 2 * CHUNK), (0, 0)))
