@@ -29,6 +29,11 @@ model = dict(
     coord_type='DEPTH',
     img_spacial_dim=15,  # 480 / 32
     max_text_len=256,
+    # reference-scale training (B=6, 100k pts, 20 views) does not fit
+    # 16 GB HBM without rematerialization: the f32 no-remat step needs
+    # ~15.6 GB of temporaries alone (BASELINE.md). Train with --amp
+    # (bfloat16 compute) exactly like the reference trains with --amp.
+    remat=True,
 )
 
 dataset_type = 'MultiView3DGroundingDataset'

@@ -31,6 +31,34 @@ def test_synthetic_end_to_end_train_and_val(tmp_path):
     assert 0.0 <= results['Overall@0.25'] <= 1.0
 
 
+def test_amp_flag_reaches_the_built_model():
+    """`--amp` must change the BUILT model, not just the config dict —
+    build_model_from_cfg silently dropped compute_dtype/remat_painting
+    through round 4 (the model tests all instantiated classes directly,
+    which is why it survived). Builds through the flagship config."""
+    from proxytransformation_tpu.utils.config import Config
+    from proxytransformation_tpu.engine.runner import (
+        apply_amp, build_model_from_cfg)
+
+    cfg = Config.fromfile(os.path.join(
+        REPO,
+        'configs/grounding/proxy-tiblock33-gs12-wbias-ddr0.6-clip.py'))
+    base = build_model_from_cfg(cfg['model'])
+    assert base.compute_dtype == 'float32'
+    # reference-scale training needs remat (15.6 GB f32 no-remat step);
+    # the flagship config must carry it so the CLI path fits HBM
+    assert base.remat is True
+    apply_amp(cfg)
+    model = build_model_from_cfg(cfg['model'])
+    assert model.compute_dtype == 'bfloat16'
+    assert model.remat_painting is True
+    assert model.remat is True
+    # explicit config values win over --amp defaults
+    cfg2 = {'model': {'compute_dtype': 'float32'}}
+    apply_amp(cfg2)
+    assert cfg2['model']['compute_dtype'] == 'float32'
+
+
 @pytest.mark.slow
 def test_detection_train_then_grounder_warm_start(tmp_path):
     """The reference's task chain through ONE Runner (reference

@@ -49,9 +49,8 @@ def main():
     cfg = Config.fromfile(args.config)
     cfg.merge_from_dict(Config.parse_cfg_options(args.cfg_options))
     if args.amp:
-        model_cfg = cfg.setdefault('model', {})
-        model_cfg.setdefault('compute_dtype', 'bfloat16')
-        model_cfg.setdefault('remat_painting', True)
+        from proxytransformation_tpu.engine.runner import apply_amp
+        apply_amp(cfg)
     if cfg.get('jax_platform'):
         # e.g. 'cpu' for CI smoke runs (the axon TPU plugin ignores the
         # JAX_PLATFORMS env var on this image)
