@@ -331,9 +331,12 @@ def _replay_backbone3d(variables, acts):
         ci = ci - origin
         ext = tuple(int(e) for e in np.maximum(ci.max(axis=0) + 2, 64))
         V = ci.shape[0]
+        # canonical cell format: parity verifies reference numerics,
+        # and the brick layout is numerically equivalent only up to
+        # f32 summation order (tests/test_brick.py bounds that)
         model = MinkResNet(depth=depth, in_channels=fi.shape[-1],
                            num_stages=num_stages, norm=norm,
-                           capacities=(V, ) * 6)
+                           capacities=(V, ) * 6, brick_stages=())
         keys = np.asarray(linearize(jnp.asarray(ci, jnp.int32), ext))
         order = np.argsort(keys, kind='stable')
         lvl = SparseLevel(

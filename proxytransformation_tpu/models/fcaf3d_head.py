@@ -139,7 +139,11 @@ class FCAF3DHead(nn.Module):
             else:
                 lvl = fine
                 x = lvl.feats
-                fine_nbr = (self_maps[i] if self_maps is not None
+                # brick backbone stages return None here (no cell
+                # self-map exists — see MinkResNet.brick_stages)
+                fine_nbr = (self_maps[i]
+                            if self_maps is not None
+                            and self_maps[i] is not None
                             else build_neighbor_map(lvl, lvl, 3, 1))
             cur_mask = lvl.mask
 

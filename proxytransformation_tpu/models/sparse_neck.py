@@ -176,7 +176,11 @@ class MinkNeck(nn.Module):
                 lvl = fine
                 x = paint_concat(lvl, i)
                 lvl = lvl._replace(feats=x)
-                nbr_out = (self_maps[i] if self_maps is not None
+                # brick backbone stages return None here (no cell
+                # self-map was ever built — see MinkResNet.brick_stages)
+                nbr_out = (self_maps[i]
+                           if self_maps is not None
+                           and self_maps[i] is not None
                            else build_neighbor_map(lvl, lvl, 3, 1))
 
             out = _OutBlock(self.out_channels, name=f'out_block_{i}')(

@@ -18,6 +18,8 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.brick import (brick_expand, brick_pack, brick_unpack,
+                         build_brick_level)
 from ..ops.sparse import (SparseLevel, build_neighbor_map, downsample_coords,
                           sparse_conv, sparse_max_pool)
 from ..utils.registry import MODELS
@@ -110,6 +112,75 @@ class SparseBottleneck(nn.Module):
         return nn.relu(x + identity)
 
 
+class BrickConv(nn.Module):
+    """3^3 conv in brick format: the learnable parameter is the SAME
+    (27, C_in, C_out) cell stencil as SparseConv (checkpoint/parity
+    compatible); `brick_expand` lifts it to the (27, 8C, 8C)
+    block-structured brick weights each call (a static 0/1 einsum —
+    autodiff routes dW_brick back to the cell stencil)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, bfeats, bnbr, brick_mask):
+        c_in = bfeats.shape[-1] // 8
+        w = self.param('kernel', _KAIMING, (27, c_in, self.out_channels))
+        return sparse_conv(bfeats, bnbr, brick_expand(w), brick_mask,
+                           self_map=True)
+
+
+def _brick_norm(norm: MaskedBatchNorm, bx, slot_mask, train):
+    """Apply a MaskedBatchNorm over the brick view: (B, Vb, 8C)
+    reshaped to (B, Vb*8, C) rows with the slot mask — IDENTICAL stats,
+    params, and param paths to the cell-format norm (same valid
+    (cell, channel) set, same (C,) scale/bias)."""
+    B, Vb, c8 = bx.shape
+    c = c8 // 8
+    y = norm(bx.reshape(B, Vb * 8, c), slot_mask.reshape(B, Vb * 8), train)
+    return y.reshape(B, Vb, c8)
+
+
+class BrickBasicBlock(nn.Module):
+    """SparseBasicBlock in brick format (stride-1 residual blocks):
+    same param tree (conv1/norm1/conv2/norm2), ~4x fewer map rows and
+    MXU-wide matmuls (see ops/brick.py)."""
+    planes: int
+
+    @nn.compact
+    def __call__(self, bx, bnbr, brick_mask, slot_mask, train: bool = False):
+        identity = bx
+        x = BrickConv(self.planes, name='conv1')(bx, bnbr, brick_mask)
+        x = _brick_norm(MaskedBatchNorm(name='norm1'), x, slot_mask, train)
+        x = nn.relu(x)
+        x = BrickConv(self.planes, name='conv2')(x, bnbr, brick_mask)
+        x = _brick_norm(MaskedBatchNorm(name='norm2'), x, slot_mask, train)
+        return nn.relu(x + identity)
+
+
+class BrickEntryBlock(nn.Module):
+    """Stage-entry BasicBlock for brick stages: the strided conv1 and
+    the 1x1 downsample run in cell format (their maps are strided), the
+    results are packed once, and conv2 + the residual add run in brick
+    format. Param tree matches SparseBasicBlock exactly."""
+    planes: int
+
+    @nn.compact
+    def __call__(self, feats, out_mask, brick_mask, slot_mask, nbr_stride3,
+                 nbr_stride1, pmap, unb8, bnbr, train: bool = False):
+        x = SparseConv(self.planes, nbr_stride3.shape[-1], name='conv1')(
+            feats, nbr_stride3, out_mask)
+        x = MaskedBatchNorm(name='norm1')(x, out_mask, train)
+        x = nn.relu(x)
+        bx = brick_pack(x, pmap, unb8, brick_mask, out_mask)
+        bx = BrickConv(self.planes, name='conv2')(bx, bnbr, brick_mask)
+        bx = _brick_norm(MaskedBatchNorm(name='norm2'), bx, slot_mask, train)
+        identity = SparseConv(self.planes, 1, name='downsample_conv')(
+            feats, nbr_stride1, out_mask)
+        identity = MaskedBatchNorm(name='downsample_norm')(
+            identity, out_mask, train)
+        b_id = brick_pack(identity, pmap, unb8, brick_mask, out_mask)
+        return nn.relu(bx + b_id)
+
+
 def _self_map_k1(feats, mask):
     """Identity neighbor map for a 1x1 conv on the same level."""
     B, V = mask.shape
@@ -134,6 +205,21 @@ class MinkResNet(nn.Module):
     norm: str = 'instance'  # stem norm; 'batch' if BATCHNORM=1 in reference
     capacities: Sequence[int] = (100_000, 80_000, 50_000, 20_000, 6_000,
                                  2_000)
+    # stages run in 2x2x2 brick format (ops/brick.py). Default OFF — it
+    # LOSES integrated on the v5e, measured (tools/profile_brick.py,
+    # surface scene, B=2, full backbone fwd): cell () 113.4 ms,
+    # brick (0,) 119.8 ms, brick (1,) 153.7 ms. The isolated s1 conv
+    # win (4.27 vs 5.97 ms, tools/brick_analysis.py) does not survive
+    # integration: stage 0's level holds only 1.83 cells/brick (maps
+    # shrink 1.8x while dense-brick FLOPs grow 8x), and stage 1's
+    # 8C=1024-wide expanded weights make the conv matmul-FLOP-bound
+    # (~16x the useful cell FLOPs; a block-sparse brick kernel would
+    # instead serialize 216 one-hot/dot steps vs the cell kernel's 27,
+    # i.e. worse than the gathers it removes). Kept as exact, tested
+    # infrastructure (tests/test_brick.py): any 'basic' stage i with
+    # 3 + i < len(capacities) can be flipped on, param-tree compatible
+    # with cell checkpoints.
+    brick_stages: Sequence[int] = ()
     remat: bool = False  # rematerialize per block (jax.checkpoint)
     # compute dtype for the residual stages. The stem conv (3ch xyz
     # input) and its norm stay float32 — raw coordinates as features
@@ -187,6 +273,33 @@ class MinkResNet(nn.Module):
             # (kernel_offsets(3) puts (0,0,0) at index 13) — no extra
             # sort-join needed
             nbr_stride1 = nbr_stride3[..., 13:14]
+
+            if (block_type == 'basic' and i in self.brick_stages
+                    and 3 + i < len(caps)):
+                # brick stage: entry block packs after its strided
+                # conv1; every stride-1 self conv runs at brick
+                # granularity; the cell self-map is never built (the
+                # neck only consumes the coarsest stage's self map)
+                blvl, pmap, unb8, slot_mask = build_brick_level(
+                    new_lvl, caps[3 + i])
+                bnbr = build_neighbor_map(blvl, blvl, 3, 1)
+                entry_cls = (nn.remat(BrickEntryBlock,
+                                      static_argnums=(10, ))
+                             if self.remat else BrickEntryBlock)
+                brick_cls = (nn.remat(BrickBasicBlock, static_argnums=(5, ))
+                             if self.remat else BrickBasicBlock)
+                x = entry_cls(planes, name=f'layer{i + 1}_0')(
+                    x, new_lvl.mask, blvl.mask, slot_mask, nbr_stride3,
+                    nbr_stride1, pmap, unb8, bnbr, train)
+                for j in range(1, n_blocks):
+                    x = brick_cls(planes, name=f'layer{i + 1}_{j}')(
+                        x, bnbr, blvl.mask, slot_mask, train)
+                x = brick_unpack(x, pmap, unb8, blvl.mask, new_lvl.mask)
+                lvl = new_lvl
+                outs.append(lvl._replace(feats=x))
+                self_maps.append(None)
+                continue
+
             nbr_self = build_neighbor_map(new_lvl, new_lvl, 3, 1)
             for j in range(n_blocks):
                 first = j == 0

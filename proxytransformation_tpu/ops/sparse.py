@@ -459,9 +459,13 @@ def sparse_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
 # scan over tile {128,256,512} x chunk {256,512} at real model/neck
 # shapes, BASELINE.md): C_in<=128 -> (256, 512); C_in==256 -> (128,
 # 256) — 2.8x over (256, 256) at the 20k-voxel stage; C_in>=512 ->
-# (256, 512)
+# (256, 512); C_in>=1024 (brick-format stages: 8x128 packed channels)
+# -> (128, 256): the (256, 512) setting's scratch+weight block is 132 KB
+# over the 16 MB scoped-vmem limit at 1024x1024 weights
 def _colwin_params(c_in: int):
     if c_in == 256:
+        return 128, 256
+    if c_in >= 1024:
         return 128, 256
     return 256, 512
 

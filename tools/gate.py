@@ -31,7 +31,7 @@ GROUPS = [
      'tests/test_config.py', 'tests/test_box3d_overlap.py',
      'tests/test_clip_bpe.py'],
     ['tests/test_sparse.py', 'tests/test_merge_join_pallas.py',
-     'tests/test_ball_query_pallas.py'],
+     'tests/test_ball_query_pallas.py', 'tests/test_brick.py'],
     ['tests/test_sparse_conv_pallas.py', 'tests/test_preshape.py'],
     ['tests/test_round2.py', 'tests/test_tooling.py',
      'tests/test_realdata_e2e.py'],
