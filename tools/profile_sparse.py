@@ -138,7 +138,9 @@ def main():
         def step(i, st_):
             f, = st_
             out = sparse_conv(f, nbr, w, dst.mask)
-            return (f + 0.001 * jnp.mean(out, -1, keepdims=True), )
+            # scalar feedback: dst rows != src rows for strided maps,
+            # so a per-row mean cannot be added back onto f
+            return (f + 0.001 * jnp.mean(out), )
         record(name, chained_ms_per_iter(step, (f0, ), n_short=1,
                                          n_long=4))
 
@@ -157,7 +159,8 @@ def main():
     def step_pool(i, st_):
         f, = st_
         out = sparse_max_pool(f, pnbr, lv2.mask)
-        return (f + 0.001 * jnp.mean(out, -1, keepdims=True), )
+        # scalar feedback: pool dst rows != src rows
+        return (f + 0.001 * jnp.mean(out), )
     record('maxpool_96k_64', chained_ms_per_iter(step_pool, (fp, ),
                                                  n_short=1, n_long=4))
 
